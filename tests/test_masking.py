@@ -1,0 +1,78 @@
+import pyspark.sql.functions as F
+import pytest
+
+from relation_extraction_transformer_spark import constants as C
+from relation_extraction_transformer_spark.functions import masking as M
+
+
+def _ref_mask(tokens, ss, se, os_, oe, st, ot):
+    # ref:data/loader.py:107-110 (subject first, then object overwrites)
+    t = list(tokens)
+    t[ss : se + 1] = ["SUBJ-" + st] * (se - ss + 1)
+    t[os_ : oe + 1] = ["OBJ-" + ot] * (oe - os_ + 1)
+    return t
+
+
+@pytest.mark.parametrize(
+    "tokens,ss,se,os_,oe,st,ot",
+    [
+        (["a", "b", "c", "d", "e"], 0, 1, 3, 4, "PERSON", "CITY"),
+        (["a", "b", "c", "d", "e"], 4, 4, 0, 0, "ORGANIZATION", "DATE"),
+        (["a", "b", "c"], 0, 2, 1, 1, "PERSON", "TITLE"),  # overlapping spans
+    ],
+)
+def test_mask_entity_spans(spark, tokens, ss, se, os_, oe, st, ot):
+    df = spark.createDataFrame(
+        [(tokens, ss, se, os_, oe, st, ot)],
+        "tokens: array<string>, ss: int, se: int, os: int, oe: int, "
+        "st: string, ot: string",
+    )
+    out = df.select(
+        M.mask_entity_spans(
+            F.col("tokens"), F.col("ss"), F.col("se"), F.col("os"),
+            F.col("oe"), F.col("st"), F.col("ot"),
+        ).alias("m")
+    ).first()["m"]
+    assert out == _ref_mask(tokens, ss, se, os_, oe, st, ot)
+
+
+def test_map_tags_to_ids(spark):
+    df = spark.createDataFrame(
+        [(["NNP", "VBZ", "???", "NN"],)], "tags: array<string>"
+    )
+    out = df.select(
+        M.map_tags_to_ids(F.col("tags"), C.POS_TO_ID).alias("ids")
+    ).first()["ids"]
+    assert out == [
+        C.POS_TO_ID["NNP"], C.POS_TO_ID["VBZ"], C.UNK_ID, C.POS_TO_ID["NN"]
+    ]
+
+
+def test_label_roundtrip(spark):
+    labels = ["per:title", "no_relation", "org:founded_by", "bogus"]
+    df = spark.createDataFrame([(l,) for l in labels], "label: string")
+    out = df.select(
+        M.label_to_id(F.col("label")).alias("id"),
+        M.id_to_label(M.label_to_id(F.col("label"))).alias("back"),
+    ).collect()
+    assert [r["id"] for r in out] == [1, 0, 25, 0]
+    assert [r["back"] for r in out] == [
+        "per:title", "no_relation", "org:founded_by", "no_relation"
+    ]
+
+
+def test_normalize_glove(spark):
+    df = spark.createDataFrame(
+        [("-LRB-",), ("-RSB-",), ("word",)], "t: string"
+    )
+    out = [r["n"] for r in df.select(
+        M.normalize_glove_token(F.col("t")).alias("n")
+    ).collect()]
+    assert out == ["(", "]", "word"]
+
+
+def test_lower_tokens(spark):
+    df = spark.createDataFrame([(["Ab", "CD", "ef"],)], "t: array<string>")
+    assert df.select(M.lower_tokens(F.col("t")).alias("l")).first()["l"] == [
+        "ab", "cd", "ef"
+    ]
