@@ -9,14 +9,30 @@ as you implement operators from SURVEY.md §2.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full KG-construction pipeline (pages -> text ->
+    NER -> candidate pairs -> transformer inference -> triples) on a
+    deterministic synthetic page corpus sized like sf0.001.
+
+    The testdata tables carry no entity-bearing text, so the flagship runs
+    on the engine's own seeded Common-Crawl-style pages source (schema from
+    BASELINE.json input_hint); its parity gate vs the single-process NumPy
+    oracle is tests/test_end_to_end.py.
+    """
+    from relation_extraction_transformer_spark.plans import pipeline as PL
+    from relation_extraction_transformer_spark.sources import pages as PG
+
+    pages = PG.synthetic_pages(spark, n_pages=200, seed=42)
+    return PL.triples_plan(pages, spark, keep_probs=False)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

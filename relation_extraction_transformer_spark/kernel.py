@@ -1,0 +1,192 @@
+"""Vectorized NumPy inference kernel (SURVEY §2.4, K1-K19).
+
+Re-implements the eval-mode forward pass of the reference network
+(ref:model/relation_model.py:366-482 and ref:model/transformer/*) for a
+batch of SAME-LENGTH examples.  Same-length batching is a deliberate
+semantic choice: the reference pads per batch, and several of its operators
+(diagonal-stripe attention geometry, max-pool over time) depend on the
+padded length, making its outputs batch-composition-dependent.  Grouping by
+exact length removes padding entirely, so results are independent of batch
+composition, partitioning, and parallelism — a hard requirement for a
+deterministic distributed engine.
+
+Eval-mode simplifications (ref:relation_model.py:96, eval.py:82):
+- all dropouts are identity
+- BatchNorm1d uses running statistics (a per-channel affine transform)
+- RReLU acts as LeakyReLU with slope (lower+upper)/2
+
+All arithmetic is float64.  Results are batch-invariant up to BLAS GEMM
+blocking noise (the stacked-matrix height changes dgemm's summation order,
+perturbing the last float bit); predictions (argmax) are stable, and parity
+tests compare probs at rtol 1e-9.  Pin BLAS to one thread per Spark task
+(OMP_NUM_THREADS=1) — parallelism comes from partitions, not BLAS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import constants as C
+from .config import ModelConfig
+from .weights import Params, EPS_BN, RRELU_EVAL_SLOPE
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _linear(x: np.ndarray, p: Params, name: str) -> np.ndarray:
+    return x @ p[f"{name}_w"].T + p[f"{name}_b"]
+
+
+def _batch_norm_eval(x: np.ndarray, p: Params, pre: str) -> np.ndarray:
+    """BatchNorm1d in eval mode over the channel (d_model) axis, which is
+    the LAST axis of (B, L, d) here (the reference permutes to (B, d, L)
+    first — ref:transformer/SubLayers.py:126-138 — equivalent per-channel
+    affine)."""
+    gamma = p[pre + "_bn_gamma"]
+    beta = p[pre + "_bn_beta"]
+    mean = p[pre + "_bn_mean"]
+    var = p[pre + "_bn_var"]
+    return gamma * (x - mean) / np.sqrt(var + EPS_BN) + beta
+
+
+def _stripe_indices(length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Index arrays realizing the reference's flip + as_strided diagonal
+    stripe (ref:model/transformer/Modules.py:46-90).
+
+    For padded length L == l the composition works out to
+
+        attn[i, j] += attn_pos[L-1-i, i+j] / temper
+
+    i.e. row index flipped, column index the anti-diagonal offset.  Derived
+    step by step:  pre = attn_pos.T -> flip last axis -> as_strided with
+    strides (k, k+l) picks element [m+n, n] -> transpose back.
+    """
+    i = np.arange(length)
+    row = (length - 1 - i)[:, None].repeat(length, axis=1)      # (l, l)
+    col = i[:, None] + i[None, :]                               # i + j
+    return row, col
+
+
+def encoder_forward(
+    p: Params,
+    cfg: ModelConfig,
+    x: np.ndarray,          # (B, l, d) input embeddings incl. obj positional
+    dpa: np.ndarray,        # (2l-1, d) diagonal positional embeddings
+) -> np.ndarray:
+    """One stack of EncoderLayers (shipped: one layer) for a same-length
+    batch with no padding (mask-free)."""
+    B, l, d = x.shape
+    H, dk = cfg.n_head, cfg.d_k
+    temper = float(np.power(d, cfg.temper_value))  # on d_model, not d_k
+    # (ref:model/transformer/SubLayers.py:59-62)
+
+    row_idx, col_idx = _stripe_indices(l)
+
+    out = x
+    for layer in range(cfg.num_layers_encoder):
+        pre = f"l{layer}_"
+        residual = out  # encoder-layer input; new_residual routes it to FFN
+        # (ref:model/transformer/Layers.py:50-53)
+
+        # K5: QKV projections, split to heads -> (H, B, l, dk)
+        def heads(m: np.ndarray) -> np.ndarray:
+            return m.reshape(B, l, H, dk).transpose(2, 0, 1, 3)
+
+        q = heads(_linear(out, p, pre + "qs"))
+        k = heads(_linear(out, p, pre + "ks"))
+        v = heads(_linear(out, p, pre + "vs"))
+
+        # K6: scaled dot-product scores
+        attn = q @ k.transpose(0, 1, 3, 2) / temper  # (H, B, l, l)
+
+        # K7: diagonal-stripe relative attention
+        dproj = _linear(dpa, p, pre + "dpa").reshape(2 * l - 1, H, dk)
+        dproj = dproj.transpose(1, 0, 2)             # (H, 2l-1, dk)
+        attn_pos = q @ dproj[:, None].transpose(0, 1, 3, 2) / temper
+        # (H, B, l, 2l-1) -> stripe -> (H, B, l, l)
+        attn = attn + attn_pos[:, :, row_idx, col_idx]
+
+        # K9: softmax (dropout identity at eval)
+        attn = _softmax(attn, axis=-1)
+
+        # K10/K11: weighted value sum, head merge, output projection.
+        # Reference merge order: (H, B, l, dv) -> permute(1,2,0,3) ->
+        # (B, l, H*dv), i.e. head-major concat
+        # (ref:model/transformer/SubLayers.py:119-120).
+        o = (attn @ v).transpose(1, 2, 0, 3).reshape(B, l, H * dk)
+        o = _linear(o, p, pre + "fc")
+
+        # K12: batch-norm WITHOUT residual (new_residual=True routes the
+        # residual to the FFN instead — ref:transformer/SubLayers.py:131-132)
+        o = _batch_norm_eval(o, p, pre + "mha")
+
+        # K13/K14: position-wise FFN with the redirected residual
+        h = _linear(o, p, pre + "ffn1")
+        h = np.where(h >= 0, h, h * RRELU_EVAL_SLOPE)
+        h = _linear(h, p, pre + "ffn2")
+        out = _batch_norm_eval(h + residual, p, pre + "ffn")
+        # (ref:transformer/SubLayers.py:171-192)
+
+    return out
+
+
+def forward_batch(
+    p: Params,
+    cfg: ModelConfig,
+    words: np.ndarray,      # (B, l) int word ids
+    pos: np.ndarray,        # (B, l) int POS ids
+    ner: np.ndarray,        # (B, l) int NER ids
+    subj_pos: np.ndarray,   # (B, l) int binned subject-relative positions
+    obj_pos: np.ndarray,    # (B, l) int binned object-relative positions
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full forward for a same-length batch.
+
+    Returns ``(predictions (B,), probs (B, 42))``
+    (ref:model/relation_model.py:100-101).
+    """
+    B, l = words.shape
+    assert l >= 1
+
+    # K1: concat feature embeddings -> (B, l, 360)
+    x = np.concatenate(
+        [p["word_emb"][words], p["pos_emb"][pos], p["ner_emb"][ner]], axis=2
+    )
+
+    # K3: add learned OBJECT positional embeddings, shifted by +10 in the
+    # relative_positions config (ref:relation_model.py:402-404,
+    # ref:transformer/Models.py:183 — object only in the shipped config)
+    x = x + p["enc2_emb"][obj_pos + 10]
+
+    # K4: diagonal positional range [96-l .. 96+l-2]
+    # (ref:data/loader.py:142-143); same vector for every example of length l
+    rel = np.arange(C.ABS_MAX_LEN - l, C.ABS_MAX_LEN + l - 1)
+    dpa = p["dpa_emb"][rel]
+
+    out = encoder_forward(p, cfg, x, dpa)
+
+    # K15: max-pool over time -> sentence query vector
+    # (ref:relation_model.py:419-420); no pads in a same-length group
+    hidden = out.max(axis=1)
+
+    # K17: position-aware attention a = t' . tanh(Ux + Vq + Wf)
+    # (ref:relation_model.py:142-242,461-474)
+    f = np.concatenate(
+        [p["pe_emb"][subj_pos + C.MAX_LEN], p["pe_emb"][obj_pos + C.MAX_LEN]],
+        axis=2,
+    )
+    scores = np.tanh(
+        _linear(out, p, "u") + _linear(hidden, p, "v")[:, None, :]
+        + _linear(f, p, "w")
+    ) @ p["t_w"].T + p["t_b"]                       # (B, l, 1)
+    w = _softmax(scores[..., 0], axis=-1)           # (B, l)
+    final = np.einsum("bl,bld->bd", w, out)
+
+    # K18/K19: classifier, softmax, argmax
+    logits = _linear(final, p, "cls")
+    probs = _softmax(logits, axis=-1)
+    preds = np.argmax(logits, axis=1)
+    return preds, probs

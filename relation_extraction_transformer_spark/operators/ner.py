@@ -1,0 +1,163 @@
+"""Sentence segmentation, tokenization, POS tagging and gazetteer NER.
+
+The reference consumes pre-annotated ``stanford_pos`` / ``stanford_ner``
+fields (ref:data/loader.py:114-116); our pipeline synthesizes them
+deterministically from raw text, entirely JVM-side:
+
+- sentences: regex split on sentence-final periods
+- tokens: whitespace split (corpus is pre-tokenized web text)
+- POS: rule CASE expression mirroring sources.gazetteer.pos_tag
+- mentions: candidate n-grams (``transform`` over index sequences)
+  broadcast-hash-joined against the gazetteer — the Spark-native form of
+  dictionary NER.  No shuffle: the gazetteer side is broadcast, the
+  containment filter is an array expression, not a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import gazetteer as G
+
+SENTENCE_SPLIT_REGEX = r"(?<=\.)\s+"
+
+
+def split_sentences(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages -> (url, lang, sent_id, sentence); P-analog of the json scan
+    exploding documents into sentence examples."""
+    sent = F.posexplode(
+        F.split(F.col(text_col), SENTENCE_SPLIT_REGEX)
+    )
+    return (
+        pages.select("url", "lang", sent.alias("sent_id", "sentence"))
+        .filter(F.length("sentence") > 0)
+    )
+
+
+def tokenize(sentences: DataFrame) -> DataFrame:
+    return sentences.withColumn("tokens", F.split(F.col("sentence"), " "))
+
+
+def pos_tags(tokens_col):
+    """Rule POS tagger as a JVM CASE chain (== gazetteer.pos_tag)."""
+    verbs = F.array(*[F.lit(v) for v in G._VERBS])
+    preps = F.array(*[F.lit(p) for p in G._PREPS])
+    dets = F.array(*[F.lit(d) for d in G._DETS])
+    return F.transform(
+        tokens_col,
+        lambda t: F.when(t.isin(".", ","), t)
+        .when(t.rlike("^[0-9]+$"), F.lit("CD"))
+        .when(F.array_contains(dets, t), F.lit("DT"))
+        .when(F.array_contains(preps, t), F.lit("IN"))
+        .when(F.array_contains(verbs, t), F.lit("VBZ"))
+        .when(t.rlike("^[A-Z]"), F.lit("NNP"))
+        .otherwise(F.lit("NN")),
+    )
+
+
+def gazetteer_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (phrase, typ, len(phrase.split(" ")))
+        for phrase, typ in sorted(G.build_gazetteer().items())
+    ]
+    return spark.createDataFrame(
+        rows, "phrase string, ner_type string, n_tokens int"
+    )
+
+
+def detect_mentions(
+    tokenized: DataFrame,
+    gaz: DataFrame,
+    max_phrase_tokens: int = G.MAX_PHRASE_TOKENS,
+) -> DataFrame:
+    """Longest-match gazetteer NER.
+
+    1. generate all n-gram spans (n = 1..max) as (start, end, phrase)
+    2. broadcast join against the gazetteer
+    3. drop mentions strictly contained in a longer mention of the same
+       sentence (leftmost-longest semantics for the nested case)
+
+    Output: url, sent_id, tokens, m_start, m_end, surface, ner_type.
+    """
+    grams = None
+    for n in range(1, max_phrase_tokens + 1):
+        g = tokenized.filter(F.size("tokens") >= n).select(
+            "url", "sent_id", "tokens",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tokens") - n),
+                    lambda i: F.struct(
+                        i.alias("m_start"),
+                        (i + n - 1).alias("m_end"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("tokens"), i + 1, n)
+                        ).alias("surface"),
+                    ),
+                )
+            ).alias("span"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+
+    hits = (
+        grams.select(
+            "url", "sent_id", "tokens",
+            F.col("span.m_start").alias("m_start"),
+            F.col("span.m_end").alias("m_end"),
+            F.col("span.surface").alias("surface"),
+        )
+        .join(
+            F.broadcast(gaz.withColumnRenamed("phrase", "surface")),
+            on="surface",
+            how="inner",
+        )
+    )
+
+    # containment removal without a self-join: collect each sentence's
+    # mention spans once, keep spans not strictly inside another
+    per_sent = hits.groupBy("url", "sent_id", "tokens").agg(
+        F.collect_list(
+            F.struct("m_start", "m_end", "surface", "ner_type")
+        ).alias("ms")
+    )
+    kept = per_sent.select(
+        "url", "sent_id", "tokens",
+        # array_sort fixes the nondeterministic collect_list order (structs
+        # compare field-by-field: m_start, then m_end)
+        F.array_sort(
+            F.filter(
+                "ms",
+                lambda m: ~F.exists(
+                    "ms",
+                    lambda o: (o["m_start"] <= m["m_start"])
+                    & (o["m_end"] >= m["m_end"])
+                    & (
+                        (o["m_end"] - o["m_start"])
+                        > (m["m_end"] - m["m_start"])
+                    ),
+                ),
+            )
+        ).alias("mentions"),
+    )
+    return kept
+
+
+def ner_tags_from_mentions(kept: DataFrame) -> DataFrame:
+    """Project mention spans back to a per-token NER tag sequence
+    (the synthetic ``stanford_ner`` field)."""
+    return kept.withColumn(
+        "ner",
+        F.transform(
+            F.sequence(F.lit(0), F.size("tokens") - 1),
+            lambda i: F.coalesce(
+                F.try_element_at(
+                    F.filter(
+                        "mentions",
+                        lambda m: (i >= m["m_start"]) & (i <= m["m_end"]),
+                    ),
+                    F.lit(1),
+                )["ner_type"],
+                F.lit("O"),
+            ),
+        ),
+    )

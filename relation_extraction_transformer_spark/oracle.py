@@ -1,0 +1,183 @@
+"""Single-process NumPy oracle — the parity reference for the Spark engine.
+
+This is an INDEPENDENT implementation of the reference pipeline semantics
+(ref:eval.py lifecycle, SURVEY §3.1): plain-Python per-example preprocessing
+mirroring ref:data/loader.py, and a naive per-example forward pass written
+with explicit loops over heads (deliberately a different code path from the
+vectorized ``kernel.py``), so that tests cross-check both the math and the
+Spark plumbing.
+
+torch is unavailable in this sandbox, so "reference parity" operationally
+means parity against this oracle implementing the reference equations with
+the shared seeded weights (SURVEY §5 note)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import constants as C
+from .config import ModelConfig
+from .weights import Params, EPS_BN, RRELU_EVAL_SLOPE
+
+
+# --------------------------------------------------------------------------
+# preprocessing (ref:data/loader.py:68-228), plain python
+# --------------------------------------------------------------------------
+
+def map_to_ids(tokens: list[str], vocab: dict[str, int]) -> list[int]:
+    # ref:data/loader.py:287-289
+    return [vocab[t] if t in vocab else C.UNK_ID for t in tokens]
+
+
+def get_positions(start_idx: int, end_idx: int, length: int) -> list[int]:
+    # ref:data/loader.py:292-295
+    return (
+        list(range(-start_idx, 0))
+        + [0] * (end_idx - start_idx + 1)
+        + list(range(1, length - end_idx))
+    )
+
+
+def bin_positions(positions: list[int]) -> list[int]:
+    # ref:data/loader.py:214-228
+    a = np.array(positions)
+    a[a > 0] = np.floor(np.log2(a[a > 0])) + 1
+    a[a < 0] = -np.floor(np.log2(-a[a < 0])) - 1
+    return a.tolist()
+
+
+@dataclass
+class PreprocessedExample:
+    """The reference's 9-tuple (ref:data/loader.py:194-197), minus the
+    training-only fields we don't consume."""
+
+    word_ids: list[int]
+    pos_ids: list[int]
+    ner_ids: list[int]
+    subj_positions: list[int]
+    obj_positions: list[int]
+
+
+def preprocess_example(
+    tokens: list[str],
+    subj_start: int,
+    subj_end: int,
+    obj_start: int,
+    obj_end: int,
+    subj_type: str,
+    obj_type: str,
+    pos_tags: list[str],
+    ner_tags: list[str],
+    vocab: dict[str, int],
+    lower: bool = False,
+) -> PreprocessedExample:
+    toks = list(tokens)
+    if lower:  # ref:data/loader.py:101-103
+        toks = [t.lower() for t in toks]
+    # entity masking, subject then object (ref:data/loader.py:107-110)
+    toks[subj_start : subj_end + 1] = ["SUBJ-" + subj_type] * (
+        subj_end - subj_start + 1
+    )
+    toks[obj_start : obj_end + 1] = ["OBJ-" + obj_type] * (obj_end - obj_start + 1)
+    n = len(toks)
+    return PreprocessedExample(
+        word_ids=map_to_ids(toks, vocab),
+        pos_ids=map_to_ids(pos_tags, C.POS_TO_ID),
+        ner_ids=map_to_ids(ner_tags, C.NER_TO_ID),
+        subj_positions=bin_positions(get_positions(subj_start, subj_end, n)),
+        obj_positions=bin_positions(get_positions(obj_start, obj_end, n)),
+    )
+
+
+# --------------------------------------------------------------------------
+# naive forward (one example at a time, explicit head loops)
+# --------------------------------------------------------------------------
+
+def _bn(x: np.ndarray, p: Params, pre: str) -> np.ndarray:
+    return (
+        p[pre + "_bn_gamma"] * (x - p[pre + "_bn_mean"])
+        / np.sqrt(p[pre + "_bn_var"] + EPS_BN)
+        + p[pre + "_bn_beta"]
+    )
+
+
+def _sm(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def naive_forward_example(
+    p: Params, cfg: ModelConfig, ex: PreprocessedExample
+) -> tuple[int, np.ndarray]:
+    """Forward for a single example; returns (pred_id, probs)."""
+    words = np.asarray(ex.word_ids)
+    l = len(words)
+    d, H, dk = cfg.d_model, cfg.n_head, cfg.d_k
+    temper = d ** cfg.temper_value
+
+    # K1 + K3
+    x = np.concatenate(
+        [
+            p["word_emb"][words],
+            p["pos_emb"][np.asarray(ex.pos_ids)],
+            p["ner_emb"][np.asarray(ex.ner_ids)],
+        ],
+        axis=1,
+    )
+    obj_pos = np.asarray(ex.obj_positions)
+    subj_pos = np.asarray(ex.subj_positions)
+    x = x + p["enc2_emb"][obj_pos + 10]
+
+    rel = list(range(C.ABS_MAX_LEN - l, C.ABS_MAX_LEN + l - 1))
+    dpa = p["dpa_emb"][np.asarray(rel)]  # (2l-1, d)
+
+    out = x
+    for layer in range(cfg.num_layers_encoder):
+        pre = f"l{layer}_"
+        residual = out.copy()
+        merged = np.zeros((l, H * dk))
+        for h in range(H):
+            sl = slice(h * dk, (h + 1) * dk)
+            q = out @ p[pre + "qs_w"].T[:, sl] + p[pre + "qs_b"][sl]
+            k = out @ p[pre + "ks_w"].T[:, sl] + p[pre + "ks_b"][sl]
+            v = out @ p[pre + "vs_w"].T[:, sl] + p[pre + "vs_b"][sl]
+            dp = dpa @ p[pre + "dpa_w"].T[:, sl] + p[pre + "dpa_b"][sl]
+            attn = (q @ k.T) / temper
+            attn_pos = (q @ dp.T) / temper  # (l, 2l-1)
+            # diagonal stripe (ref:model/transformer/Modules.py:46-90):
+            # attn[i, j] += attn_pos[l-1-i, i+j]
+            for i in range(l):
+                for j in range(l):
+                    attn[i, j] += attn_pos[l - 1 - i, i + j]
+            attn = _sm(attn)
+            merged[:, sl] = attn @ v
+        o = merged @ p[pre + "fc_w"].T + p[pre + "fc_b"]
+        o = _bn(o, p, pre + "mha")
+        hdn = o @ p[pre + "ffn1_w"].T + p[pre + "ffn1_b"]
+        hdn = np.where(hdn >= 0, hdn, hdn * RRELU_EVAL_SLOPE)
+        hdn = hdn @ p[pre + "ffn2_w"].T + p[pre + "ffn2_b"]
+        out = _bn(hdn + residual, p, pre + "ffn")
+
+    hidden = out.max(axis=0)  # K15
+
+    # K17
+    f = np.concatenate(
+        [p["pe_emb"][subj_pos + C.MAX_LEN], p["pe_emb"][obj_pos + C.MAX_LEN]],
+        axis=1,
+    )
+    scores = np.empty(l)
+    for i in range(l):
+        z = np.tanh(
+            p["u_w"] @ out[i] + p["u_b"]
+            + p["v_w"] @ hidden + p["v_b"]
+            + p["w_w"] @ f[i] + p["w_b"]
+        )
+        scores[i] = p["t_w"][0] @ z + p["t_b"][0]
+    w = _sm(scores)
+    final = w @ out
+
+    logits = p["cls_w"] @ final + p["cls_b"]
+    probs = _sm(logits)
+    return int(np.argmax(logits)), probs

@@ -1,0 +1,108 @@
+"""Synthetic Common-Crawl-style pages source (BASELINE.json input_hint).
+
+Schema: ``url string, warc_ts timestamp, html binary, text string,
+lang string``.  Generation is distributed (``spark.range`` +
+``mapInPandas``) and deterministic per page id regardless of partitioning:
+each row derives its own ``np.random.default_rng((seed, page_id))`` stream,
+so the same (seed, n_pages) always yields byte-identical pages — the basis
+of the byte-identical ``extract_text`` invariant test.
+
+Host distribution is deliberately skewed (Pareto over a small host pool)
+to exercise the salted-repartition path at scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import gazetteer as G
+
+_EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+_LANGS = ("en", "en", "en", "en", "en", "en", "en", "en", "de", "fr")
+
+
+def _render_sentence(rng: np.random.Generator) -> str:
+    t = G.TEMPLATES[int(rng.integers(0, len(G.TEMPLATES)))]
+    p = G.PERSONS[int(rng.integers(0, len(G.PERSONS)))]
+    p2 = G.PERSONS[int(rng.integers(0, len(G.PERSONS)))]
+    return t.format(
+        P=p,
+        P2=p2,
+        O=G.ORGS[int(rng.integers(0, len(G.ORGS)))],
+        T=G.TITLES[int(rng.integers(0, len(G.TITLES)))],
+        Y=G.YEARS[int(rng.integers(0, len(G.YEARS)))],
+        CITY=G.CITIES[int(rng.integers(0, len(G.CITIES)))],
+        COUNTRY=G.COUNTRIES[int(rng.integers(0, len(G.COUNTRIES)))],
+        AGE=G.AGES[int(rng.integers(0, len(G.AGES)))],
+        NAT=G.NATIONALITIES[int(rng.integers(0, len(G.NATIONALITIES)))],
+    )
+
+
+def render_page(page_id: int, seed: int) -> tuple[str, dt.datetime, bytes, str, str]:
+    """Deterministic page for one id — shared by the Spark generator and
+    the oracle (single code path; generation is not under parity test)."""
+    rng = np.random.default_rng((seed, page_id))
+    # skewed host: Pareto tail clamped to a 40-host pool; host 0 is hot
+    host_idx = min(int(rng.pareto(0.7)), 39)
+    host = f"host{host_idx}.example.com"
+    lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+    n_sent = int(rng.integers(1, 6))
+    sentences = [_render_sentence(rng) for _ in range(n_sent)]
+    text = " ".join(sentences)
+    url = f"https://{host}/articles/{page_id}"
+    title = f"Article {page_id}"
+    html = (
+        f"<html><head><title>{title}</title></head><body><p>{text}</p>"
+        f"</body></html>"
+    ).encode("utf-8")
+    ts = _EPOCH + dt.timedelta(seconds=int(page_id))
+    return url, ts, html, text, lang
+
+
+def synthetic_pages(
+    spark: SparkSession, n_pages: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [render_page(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    rng_df = spark.range(n_pages, numPartitions=partitions)
+    return rng_df.mapInPandas(gen, schema=schema)
+
+
+def write_pages(df: DataFrame, path: str, partition_by_lang: bool = True) -> None:
+    """Materialize pages as a partitioned table (Iceberg in production —
+    parquet stands in here since the sandbox has no Iceberg jars; the
+    DataFrame code path is identical)."""
+    w = df.write.mode("overwrite")
+    if partition_by_lang:
+        w = w.partitionBy("lang")
+    w.parquet(path)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Byte-identical text extraction per url (north-rule invariant).
+
+    JVM-side: decode + anchored regexp body extraction; no Python.  On
+    this controlled HTML shape the extraction is exact; real-world HTML
+    would swap in a pandas-UDF extractor behind the same column contract.
+    """
+    body = F.regexp_extract(
+        F.decode(F.col("html"), "UTF-8"), "<p>(.*)</p>", 1
+    )
+    return pages.withColumn("extracted_text", body)
