@@ -35,13 +35,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return PL.triples_plan(pages, spark, keep_probs=False)
 
 
+def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Non-SQL-expressible KG-pipeline operators (NumPy-in-Arrow inference,
+    iterative canonicalization): rows-only checks; their real correctness
+    gate is the NumPy-oracle parity suite in tests/."""
+    from relation_extraction_transformer_spark.plans import pipeline as PL
+    from relation_extraction_transformer_spark.sources import pages as PG
+
+    def _pages(spark):
+        return PG.synthetic_pages(spark, n_pages=300, seed=42)
+
+    def kg_triples(spark, sf_dir):
+        return PL.triples_plan(_pages(spark), spark, keep_probs=False)
+
+    def kg_candidates(spark, sf_dir):
+        arts = PL.build_artifacts(spark)
+        return PL.candidates_plan(_pages(spark), arts).select(
+            "url", "sent_id", "pair_id", "subj_surface", "subj_type",
+            "obj_surface", "obj_type",
+        )
+
+    return {"kg_triples": kg_triples, "kg_candidates": kg_candidates}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from relation_extraction_transformer_spark.plans import sql_queries as Q
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: spec.spark for name, spec in Q.REGISTRY.items()
+    }
+    out.update(_kg_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -51,4 +80,10 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from relation_extraction_transformer_spark.plans import sql_queries as Q
+
+    return {
+        name: spec.oracle
+        for name, spec in Q.REGISTRY.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,1345 @@
+"""SQL-checkable operator battery for the driver's DuckDB oracle gate.
+
+Every entry registers a Spark implementation (DataFrame API) and an
+equivalent ANSI/DuckDB SQL string over the driver-provided testdata views
+(region nation customer supplier part orders lineitem events documents
+embeddings).  Together they cover SURVEY §2's SQL-expressible inventory
+(A1-A7, J1-J5, O1-O4, P1-P9) plus the training-data-pipeline extensions
+(dedup, similarity search, text analysis).
+
+Cross-engine determinism rules (so value hashes match):
+
+- float SUMS are computed in DECIMAL (exact, order-independent) and cast
+  to DOUBLE at the end;
+- similarity math is quantized to BIGINT components before summing;
+- ratios divide exact integers/decimals in one IEEE double op (correctly
+  rounded -> identical in both engines), then ROUND(x, 6);
+- every top-k has a total tie-broken ORDER BY;
+- hash functions are md5 (identical lowercase hex in both engines).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import positions as POS
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    spark: SparkQuery
+    oracle: str | None  # None -> driver runs a rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# §1 TPC-H-style relational core: scan / filter / aggregate / join / top-k
+# ===========================================================================
+
+_DEC = "DECIMAL(18,2)"
+
+register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC})) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        ).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+)
+
+
+register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC})) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "customer")
+    .filter(F.col("c_mktsegment") == "BUILDING")
+    .join(
+        t(spark, sf, "orders").filter(
+            F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        ),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    .join(
+        t(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    .groupBy("l_orderkey", "o_orderdate")
+    .agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        ).cast("double").alias("revenue")
+    )
+    .select("l_orderkey", "revenue", "o_orderdate")
+    .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    .limit(10)
+)
+
+
+register(
+    "q5_region_revenue",
+    f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS {_DEC})) AS DOUBLE) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "region")
+    .filter(F.col("r_name") == "ASIA")
+    .join(t(spark, sf, "nation"), F.col("n_regionkey") == F.col("r_regionkey"))
+    .join(t(spark, sf, "customer"), F.col("c_nationkey") == F.col("n_nationkey"))
+    .join(t(spark, sf, "orders"), F.col("o_custkey") == F.col("c_custkey"))
+    .join(t(spark, sf, "lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+    .join(
+        t(spark, sf, "supplier"),
+        (F.col("s_suppkey") == F.col("l_suppkey"))
+        & (F.col("s_nationkey") == F.col("n_nationkey")),
+    )
+    .groupBy("n_name")
+    .agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        ).cast("double").alias("revenue")
+    )
+)
+
+
+register(
+    "top_customer_per_nation",
+    f"""
+    WITH spend AS (
+      SELECT c_nationkey, c_custkey, c_name,
+             SUM(CAST(o_totalprice AS {_DEC})) AS total
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_nationkey, c_custkey, c_name
+    )
+    SELECT c_nationkey, c_custkey, c_name,
+           CAST(total AS DOUBLE) AS total_spend
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_nationkey ORDER BY total DESC, c_custkey) AS rn
+          FROM spend)
+    WHERE rn = 1
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "customer")
+    .join(t(spark, sf, "orders"), F.col("o_custkey") == F.col("c_custkey"))
+    .groupBy("c_nationkey", "c_custkey", "c_name")
+    .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("total"))
+    .withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c_nationkey").orderBy(
+                F.desc("total"), F.asc("c_custkey")
+            )
+        ),
+    )
+    .filter(F.col("rn") == 1)
+    .select(
+        "c_nationkey", "c_custkey", "c_name",
+        F.col("total").cast("double").alias("total_spend"),
+    )
+)
+
+
+register(
+    "orders_with_shipped_items",  # left-semi join (J1 analog)
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > TIMESTAMP '2000-01-01')
+    GROUP BY o_orderpriority
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "orders")
+    .join(
+        t(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    .groupBy("o_orderpriority")
+    .agg(F.count(F.lit(1)).alias("order_count"))
+)
+
+
+# ===========================================================================
+# §2 Vocabulary build (SURVEY A1-A3, O4, J1): documents as the corpus
+# ===========================================================================
+
+register(
+    "vocab_counts",  # A1 + A2 threshold (ref:prepare_vocab.py:86-97)
+    """
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token HAVING COUNT(*) >= 10
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents")
+    .select(F.explode(F.split("text", " ")).alias("token"))
+    .groupBy("token")
+    .agg(F.count(F.lit(1)).alias("cnt"))
+    .filter(F.col("cnt") >= 10)
+)
+
+
+register(
+    "vocab_ranked",  # O4: ids by desc frequency, deterministic tie-break
+    # (ref:utils/vocab.py:71-78; ids offset by 2 for PAD/UNK)
+    """
+    SELECT token, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, token) + 1 AS token_id
+    FROM (
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token HAVING COUNT(*) >= 10
+    )
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents")
+    .select(F.explode(F.split("text", " ")).alias("token"))
+    .groupBy("token")
+    .agg(F.count(F.lit(1)).alias("cnt"))
+    .filter(F.col("cnt") >= 10)
+    .withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))) + 1,
+    )
+)
+
+
+register(
+    "oov_rate",  # A3 (ref:prepare_vocab.py:100-104): non-en tokens vs en vocab
+    """
+    WITH en_vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE lang = 'en'
+    ),
+    toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE lang <> 'en'
+    )
+    SELECT lang,
+           COUNT(*) AS total_tokens,
+           COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM en_vocab))
+             AS oov_tokens
+    FROM toks GROUP BY lang
+    """,
+)(
+    lambda spark, sf: (
+        lambda docs: docs.filter(F.col("lang") != "en")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .join(
+            F.broadcast(
+                docs.filter(F.col("lang") == "en")
+                .select(F.explode(F.split("text", " ")).alias("token"))
+                .distinct()
+                .withColumn("in_vocab", F.lit(1))
+            ),
+            "token",
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+        )
+    )(t(spark, sf, "documents"))
+)
+
+
+# ===========================================================================
+# §3 Text analysis: token stats, quality, language guess, fingerprint
+# ===========================================================================
+
+register(
+    "token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS text_chars,
+           ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("text_chars"),
+        F.round(
+            (F.length("text") - F.size(F.split("text", " ")) + 1).cast("double")
+            / F.size(F.split("text", " ")),
+            6,
+        ).alias("avg_token_len"),
+    )
+)
+
+
+register(
+    "quality_scores",  # type-token ratio + stopword ratio as quality features
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id,
+           len(l) AS n_tokens,
+           len(list_distinct(l)) AS n_distinct,
+           ROUND(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS ttr,
+           len(list_filter(l, x -> x IN ('the', 'a'))) AS stopword_hits
+    FROM toks
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents")
+    .select("doc_id", F.split("text", " ").alias("l"))
+    .select(
+        "doc_id",
+        F.size("l").alias("n_tokens"),
+        F.size(F.array_distinct("l")).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct("l")).cast("double") / F.size("l"), 6
+        ).alias("ttr"),
+        F.size(F.filter("l", lambda x: x.isin("the", "a"))).alias(
+            "stopword_hits"
+        ),
+    )
+)
+
+
+register(
+    "lang_guess",  # n-gram/stopword language-id heuristic vs declared lang
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (
+             WHERE len(list_filter(string_split(text, ' '),
+                                   x -> x IN ('the', 'a', 'value', 'table'))) * 5
+                   >= len(string_split(text, ' '))
+           ) AS guessed_en
+    FROM documents GROUP BY lang
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents")
+    .select(
+        "lang",
+        (
+            F.size(
+                F.filter(
+                    F.split("text", " "),
+                    lambda x: x.isin("the", "a", "value", "table"),
+                )
+            ) * 5
+            >= F.size(F.split("text", " "))
+        ).alias("g"),
+    )
+    .groupBy("lang")
+    .agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("guessed_en"),
+    )
+)
+
+
+register(
+    "doc_fingerprints",  # rolling-hash-style prefix fingerprint groups
+    """
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+    FROM (SELECT doc_id,
+                 md5(array_to_string((string_split(text, ' '))[1:10], ' ')) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents")
+    .select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10))).alias("fp"),
+    )
+    .groupBy("fp")
+    .agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+)
+
+
+# ===========================================================================
+# §4 Deduplication suite
+# ===========================================================================
+
+register(
+    "dedup_exact",  # exact hash-groupBy dedup
+    """
+    SELECT md5(text) AS fp, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents")
+    .groupBy(F.md5("text").alias("fp"))
+    .agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+    .filter(F.col("dup_count") > 1)
+)
+
+
+_MINHASH_K = 8
+_MINHASH_BANDS = 2  # 2 bands x 4 rows
+
+
+def _spark_shingles(col):
+    toks = F.split(col, " ")
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array(col))
+
+
+_DUCK_SHINGLES = (
+    "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) "
+    "ELSE [text] END"
+)
+
+
+def _spark_minhash_sig(shingles_col, k: int):
+    return F.array_min(
+        F.transform(shingles_col, lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)))
+    )
+
+
+def _duck_minhash_sig(shingles_expr: str, k: int) -> str:
+    return (
+        f"list_aggregate(list_transform({shingles_expr}, "
+        f"s -> md5(concat('{k}:', s))), 'min')"
+    )
+
+
+def _duck_band(b: int) -> str:
+    parts = ", ".join(
+        _duck_minhash_sig(_DUCK_SHINGLES, k)
+        for k in range(b * 4, b * 4 + 4)
+    )
+    return f"md5(concat_ws('|', {parts}))"
+
+
+def _spark_minhash_bands(spark, sf):
+    docs = t(spark, sf, "documents").withColumn(
+        "sh", _spark_shingles(F.col("text"))
+    )
+    bands = []
+    for b in range(_MINHASH_BANDS):
+        sig = F.concat_ws(
+            "|", *[_spark_minhash_sig(F.col("sh"), k) for k in range(b * 4, b * 4 + 4)]
+        )
+        bands.append(
+            docs.select(
+                "doc_id", F.lit(b).alias("band"), F.md5(sig).alias("band_hash")
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+register(
+    "minhash_bands",  # signature -> LSH band hashes (dedup scale path)
+    " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_duck_band(b)} AS band_hash FROM documents"
+        for b in range(_MINHASH_BANDS)
+    ),
+)(_spark_minhash_bands)
+
+
+def _spark_minhash_pairs(spark, sf):
+    bands = _spark_minhash_bands(spark, sf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+register(
+    "minhash_candidate_pairs",  # LSH band-bucket self-join
+    f"""
+    WITH bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_duck_band(b)} AS band_hash FROM documents"
+        for b in range(_MINHASH_BANDS)
+    )})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)(_spark_minhash_pairs)
+
+
+register(
+    "ngram_jaccard_buckets",  # n-gram Jaccard near-dup within cheap buckets
+    """
+    WITH sh AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) // 16 AS size_bucket,
+             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [text] END) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter_cnt,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter_cnt AS DOUBLE) / (na + nb - inter_cnt), 6) AS jaccard
+    FROM pairs WHERE inter_cnt * 10 >= (na + nb - inter_cnt)
+    """,
+)(
+    lambda spark, sf: (
+        lambda sh: sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(
+                F.array_intersect(F.col("a.s"), F.col("b.s"))
+            ).alias("inter_cnt"),
+            F.size(F.col("a.s")).alias("na"),
+            F.size(F.col("b.s")).alias("nb"),
+        )
+        .filter(
+            F.col("inter_cnt") * 10
+            >= (F.col("na") + F.col("nb") - F.col("inter_cnt"))
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("inter_cnt").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter_cnt")),
+                6,
+            ).alias("jaccard"),
+        )
+    )(
+        t(spark, sf, "documents").select(
+            "doc_id", "lang",
+            (F.size(F.split("text", " ")) / 16).cast("int").alias("size_bucket"),
+            F.array_distinct(_spark_shingles(F.col("text"))).alias("s"),
+        )
+    )
+)
+
+
+def _spark_simhash(spark, sf):
+    # use the first 15 hex chars (60 bits, fits signed BIGINT exactly in
+    # both engines), test each of the low 16 bits
+    tok_bits = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 2, 15), 16, 10).cast("long")
+        )
+        .crossJoin(spark.range(16).select(F.col("id").cast("int").alias("bit")))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
+            ).alias("score")
+        )
+    )
+    return tok_bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN score > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END")
+        ).cast("long").alias("simhash")
+    )
+
+
+register(
+    "simhash_64",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 2, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
+      FROM hashed, (SELECT unnest(range(0, 16)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN score > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)(_spark_simhash)
+
+
+# ===========================================================================
+# §5 Similarity search over embeddings
+# ===========================================================================
+
+_Q = 1000  # quantization: component -> CAST(ROUND(x * 1000) AS BIGINT)
+_N_QUERIES = 8
+_TOP_K = 5
+
+
+def _spark_quantize(col):
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * _Q).cast("long")
+    )
+
+
+_DUCK_QUANT = (
+    "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+
+def _spark_int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+register(
+    "ann_cosine_topk",  # brute-force cosine top-k (similarity baseline)
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, {_DUCK_QUANT} AS v FROM embeddings
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS cid, {_DUCK_QUANT} AS v FROM embeddings
+    ),
+    dots AS (
+      SELECT qid, cid,
+        CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+             i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
+        CAST(list_sum(list_transform(q.v, x -> x * x)) AS BIGINT) AS qq,
+        CAST(list_sum(list_transform(c.v, x -> x * x)) AS BIGINT) AS cc
+      FROM q, c WHERE qid <> cid
+    )
+    SELECT qid, cid, rank FROM (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ROUND(CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 9) DESC,
+               cid) AS rank
+      FROM dots WHERE qq > 0 AND cc > 0
+    ) WHERE rank <= {_TOP_K}
+    """,
+)(
+    lambda spark, sf: (
+        lambda emb: emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .join(
+            emb.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")),
+            F.col("qid") != F.col("cid"),
+        )
+        .select(
+            "qid", "cid",
+            _spark_int_dot(F.col("qv"), F.col("cv")).alias("dot"),
+            _spark_int_dot(F.col("qv"), F.col("qv")).alias("qq"),
+            _spark_int_dot(F.col("cv"), F.col("cv")).alias("cc"),
+        )
+        .filter((F.col("qq") > 0) & (F.col("cc") > 0))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc(
+                        F.round(
+                            F.col("dot").cast("double")
+                            / (
+                                F.sqrt(F.col("qq").cast("double"))
+                                * F.sqrt(F.col("cc").cast("double"))
+                            ),
+                            9,
+                        )
+                    ),
+                    F.asc("cid"),
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", "cid", "rank")
+    )(
+        t(spark, sf, "embeddings").select(
+            "vec_id", _spark_quantize(F.col("embedding")).alias("v")
+        )
+    )
+)
+
+
+# deterministic +-1 hyperplanes shared verbatim by both engines
+_N_PLANES = 8
+_DIM = 64
+_PLANES = (
+    (np.random.default_rng(20240816).integers(0, 2, (_N_PLANES, _DIM)) * 2 - 1)
+    .astype(int)
+    .tolist()
+)
+
+
+def _duck_plane_literal(k: int) -> str:
+    return "[" + ", ".join(str(v) for v in _PLANES[k]) + "]"
+
+
+register(
+    "ann_lsh_buckets",  # sign-random-projection LSH (similarity scale path)
+    f"""
+    WITH q AS (SELECT vec_id, {_DUCK_QUANT} AS v FROM embeddings)
+    SELECT vec_id,
+           CAST({" + ".join(
+        f"(CASE WHEN CAST(list_sum(list_transform(range(1, {_DIM} + 1), "
+        f"i -> v[i] * ({_duck_plane_literal(k)})[i])) AS BIGINT) >= 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(_N_PLANES)
+    )} AS BIGINT) AS bucket
+    FROM q
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "embeddings")
+    .select("vec_id", _spark_quantize(F.col("embedding")).alias("v"))
+    .select(
+        "vec_id",
+        sum(
+            [
+                F.when(
+                    _spark_int_dot(
+                        F.col("v"),
+                        F.array(*[F.lit(x).cast("long") for x in _PLANES[k]]),
+                    )
+                    >= 0,
+                    F.lit(1 << k),
+                ).otherwise(F.lit(0))
+                for k in range(_N_PLANES)
+            ],
+            F.lit(0),
+        ).cast("long").alias("bucket"),
+    )
+)
+
+
+register(
+    "knn_label_vote",  # k-NN classification: majority label of cosine top-k
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, {_DUCK_QUANT} AS v FROM embeddings
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS cid, label, {_DUCK_QUANT} AS v FROM embeddings),
+    dots AS (
+      SELECT qid, cid, label,
+        CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+             i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
+        CAST(list_sum(list_transform(q.v, x -> x * x)) AS BIGINT) AS qq,
+        CAST(list_sum(list_transform(c.v, x -> x * x)) AS BIGINT) AS cc
+      FROM q, c WHERE qid <> cid
+    ),
+    topk AS (
+      SELECT qid, cid, label FROM (
+        SELECT qid, cid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY ROUND(CAST(dot AS DOUBLE) /
+                   (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 9) DESC,
+                 cid) AS rank
+        FROM dots WHERE qq > 0 AND cc > 0
+      ) WHERE rank <= {_TOP_K}
+    )
+    SELECT qid, voted_label FROM (
+      SELECT qid, label AS voted_label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY COUNT(*) DESC, label) AS rn
+      FROM topk GROUP BY qid, label
+    ) WHERE rn = 1
+    """,
+)(
+    lambda spark, sf: (
+        lambda emb: emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("cid"), "label", F.col("v").alias("cv")
+            ),
+            F.col("qid") != F.col("cid"),
+        )
+        .select(
+            "qid", "cid", "label",
+            _spark_int_dot(F.col("qv"), F.col("cv")).alias("dot"),
+            _spark_int_dot(F.col("qv"), F.col("qv")).alias("qq"),
+            _spark_int_dot(F.col("cv"), F.col("cv")).alias("cc"),
+        )
+        .filter((F.col("qq") > 0) & (F.col("cc") > 0))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc(
+                        F.round(
+                            F.col("dot").cast("double")
+                            / (
+                                F.sqrt(F.col("qq").cast("double"))
+                                * F.sqrt(F.col("cc").cast("double"))
+                            ),
+                            9,
+                        )
+                    ),
+                    F.asc("cid"),
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("voted_label"))
+    )(
+        t(spark, sf, "embeddings").select(
+            "vec_id", "label", _spark_quantize(F.col("embedding")).alias("v")
+        )
+    )
+)
+
+
+# ===========================================================================
+# §6 Scorer semantics (SURVEY A4-A6, ref:utils/scorer.py:22-118) over a
+# deterministic synthetic gold/pred derivation from the events table
+# ===========================================================================
+
+# label perturbation cycle (shared by both dialects)
+_SHIFT_CASE_SQL = (
+    "CASE event_type WHEN 'click' THEN 'view' WHEN 'view' THEN 'click' "
+    "WHEN 'signup' THEN 'purchase' WHEN 'purchase' THEN 'error' "
+    "ELSE 'signup' END"
+)
+
+_GOLD_SQL = (
+    "CASE WHEN event_id % 13 = 0 THEN 'no_relation' ELSE event_type END"
+)
+_PRED_SQL = (
+    "CASE WHEN event_id % 11 = 0 THEN 'no_relation' "
+    f"WHEN event_id % 7 = 0 THEN {_SHIFT_CASE_SQL} ELSE event_type END"
+)
+
+_SCORER_BASE_SQL = f"""
+  SELECT {_GOLD_SQL} AS gold, {_PRED_SQL} AS guess FROM events
+"""
+
+
+def _spark_scorer_base(spark, sf):
+    return t(spark, sf, "events").selectExpr(
+        f"{_GOLD_SQL} AS gold", f"{_PRED_SQL} AS guess"
+    )
+
+
+def _spark_scorer_counts(spark, sf):
+    """correct/guessed/gold counters with the reference's null-class rules
+    (ref:utils/scorer.py:33-44)."""
+    base = _spark_scorer_base(spark, sf)
+    gold_c = (
+        base.filter(F.col("gold") != "no_relation")
+        .groupBy(F.col("gold").alias("relation"))
+        .agg(
+            F.count(F.lit(1)).alias("gold_cnt"),
+            F.sum(
+                F.when(
+                    (F.col("guess") == F.col("gold"))
+                    & (F.col("guess") != "no_relation"),
+                    1,
+                ).otherwise(0)
+            ).alias("correct_cnt"),
+        )
+    )
+    guess_c = (
+        base.filter(F.col("guess") != "no_relation")
+        .groupBy(F.col("guess").alias("relation"))
+        .agg(F.count(F.lit(1)).alias("guessed_cnt"))
+    )
+    return gold_c.join(guess_c, "relation", "left").select(
+        "relation",
+        F.col("correct_cnt").cast("long").alias("correct_cnt"),
+        F.coalesce("guessed_cnt", F.lit(0)).cast("long").alias("guessed_cnt"),
+        F.col("gold_cnt").cast("long").alias("gold_cnt"),
+    )
+
+
+_SCORER_COUNTS_SQL = f"""
+  WITH base AS ({_SCORER_BASE_SQL}),
+  gold_c AS (
+    SELECT gold AS relation,
+           COUNT(*) AS gold_cnt,
+           SUM(CASE WHEN guess = gold AND guess <> 'no_relation'
+               THEN 1 ELSE 0 END) AS correct_cnt
+    FROM base WHERE gold <> 'no_relation' GROUP BY gold
+  ),
+  guess_c AS (
+    SELECT guess AS relation, COUNT(*) AS guessed_cnt
+    FROM base WHERE guess <> 'no_relation' GROUP BY guess
+  )
+  SELECT relation,
+         CAST(correct_cnt AS BIGINT) AS correct_cnt,
+         CAST(COALESCE(guessed_cnt, 0) AS BIGINT) AS guessed_cnt,
+         CAST(gold_cnt AS BIGINT) AS gold_cnt
+  FROM gold_c LEFT JOIN guess_c USING (relation)
+"""
+
+
+register(
+    "scorer_per_relation",
+    f"""
+    WITH counts AS ({_SCORER_COUNTS_SQL})
+    SELECT relation, correct_cnt, guessed_cnt, gold_cnt,
+      ROUND(CASE WHEN guessed_cnt > 0
+        THEN CAST(correct_cnt AS DOUBLE) / guessed_cnt ELSE 1.0 END, 6) AS prec,
+      ROUND(CASE WHEN gold_cnt > 0
+        THEN CAST(correct_cnt AS DOUBLE) / gold_cnt ELSE 0.0 END, 6) AS recall
+    FROM counts
+    """,
+)(
+    lambda spark, sf: _spark_scorer_counts(spark, sf).select(
+        "relation", "correct_cnt", "guessed_cnt", "gold_cnt",
+        F.round(
+            F.when(
+                F.col("guessed_cnt") > 0,
+                F.col("correct_cnt").cast("double") / F.col("guessed_cnt"),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("prec"),
+        F.round(
+            F.when(
+                F.col("gold_cnt") > 0,
+                F.col("correct_cnt").cast("double") / F.col("gold_cnt"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    )
+)
+
+
+register(
+    "scorer_micro",  # A6 (ref:utils/scorer.py:88-96)
+    f"""
+    WITH counts AS ({_SCORER_COUNTS_SQL}),
+    sums AS (
+      SELECT CAST(SUM(correct_cnt) AS BIGINT) AS c,
+             CAST(SUM(guessed_cnt_u) AS BIGINT) AS g,
+             CAST(SUM(gold_cnt) AS BIGINT) AS o
+      FROM (
+        SELECT correct_cnt, gold_cnt, 0 AS guessed_cnt_u FROM counts
+        UNION ALL
+        -- guessed counts must be summed over ALL guessed relations, not
+        -- only those present in gold
+        SELECT 0, 0, guessed_cnt FROM (
+          WITH base AS ({_SCORER_BASE_SQL})
+          SELECT COUNT(*) AS guessed_cnt FROM base
+          WHERE guess <> 'no_relation'
+        )
+      )
+    )
+    SELECT c AS correct_cnt, g AS guessed_cnt, o AS gold_cnt,
+      ROUND(CASE WHEN g > 0 THEN CAST(c AS DOUBLE) / g ELSE 1.0 END, 6)
+        AS prec_micro,
+      ROUND(CASE WHEN o > 0 THEN CAST(c AS DOUBLE) / o ELSE 0.0 END, 6)
+        AS recall_micro
+    FROM sums
+    """,
+)(
+    lambda spark, sf: (
+        lambda base: base.agg(
+            F.sum(
+                F.when(
+                    (F.col("gold") != "no_relation")
+                    & (F.col("guess") == F.col("gold")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("correct_cnt"),
+            F.sum(
+                F.when(F.col("guess") != "no_relation", 1).otherwise(0)
+            ).cast("long").alias("guessed_cnt"),
+            F.sum(
+                F.when(F.col("gold") != "no_relation", 1).otherwise(0)
+            ).cast("long").alias("gold_cnt"),
+        ).select(
+            "correct_cnt", "guessed_cnt", "gold_cnt",
+            F.round(
+                F.when(
+                    F.col("guessed_cnt") > 0,
+                    F.col("correct_cnt").cast("double") / F.col("guessed_cnt"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("prec_micro"),
+            F.round(
+                F.when(
+                    F.col("gold_cnt") > 0,
+                    F.col("correct_cnt").cast("double") / F.col("gold_cnt"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall_micro"),
+        )
+    )(_spark_scorer_base(spark, sf))
+)
+
+
+# ===========================================================================
+# §7 Ensemble majority vote (SURVEY A7/J5, ref:ensemble.py:54-63) from three
+# deterministic pseudo-models; tie-break (votes desc, label asc)
+# ===========================================================================
+
+def _pred_k_sql(k: int) -> str:
+    return (
+        f"CASE WHEN event_id % {7 + k} = 0 THEN {_SHIFT_CASE_SQL} "
+        "ELSE event_type END"
+    )
+
+
+register(
+    "ensemble_majority_vote",
+    f"""
+    WITH preds AS (
+      {" UNION ALL ".join(
+        f"SELECT event_id, {_pred_k_sql(k)} AS pred FROM events"
+        for k in range(3)
+      )}
+    )
+    SELECT event_id, pred AS voted FROM (
+      SELECT event_id, pred,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+               ORDER BY COUNT(*) DESC, pred) AS rn
+      FROM preds GROUP BY event_id, pred
+    ) WHERE rn = 1
+    """,
+)(
+    lambda spark, sf: (
+        lambda ev: ev.selectExpr("event_id", f"{_pred_k_sql(0)} AS pred")
+        .unionByName(ev.selectExpr("event_id", f"{_pred_k_sql(1)} AS pred"))
+        .unionByName(ev.selectExpr("event_id", f"{_pred_k_sql(2)} AS pred"))
+        .groupBy("event_id", "pred")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_id").orderBy(
+                    F.desc("votes"), F.asc("pred")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("pred").alias("voted"))
+    )(t(spark, sf, "events"))
+)
+
+
+# ===========================================================================
+# §8 Event-time operators: sessionization + tumbling windows
+# ===========================================================================
+
+register(
+    "sessionize_users",  # gap-based sessionization (30 min)
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec,
+             LAG(CAST(epoch(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM ordered GROUP BY user_id
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "events")
+    .select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("sec"), F.col("ts"),
+    )
+    .withColumn(
+        "prev_sec",
+        F.lag("sec").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    .groupBy("user_id")
+    .agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > 1800),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_sessions"),
+    )
+)
+
+
+register(
+    "tumbling_hourly_counts",  # windowed aggregation (streaming batch analog)
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "events")
+    .groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        "event_type",
+    )
+    .agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long").alias("value_cents"),
+    )
+)
+
+
+# ===========================================================================
+# §9 Preprocessing operators over testdata (P2, P7-P9 SQL-checkable forms)
+# ===========================================================================
+
+register(
+    "binned_offsets",  # P9 on generic ints derived from lineitem
+    f"""
+    SELECT v, {POS.log2_bin_sql('v')} AS binned, COUNT(*) AS cnt
+    FROM (SELECT CAST(l_partkey % 200 - 100 AS INTEGER) AS v FROM lineitem)
+    GROUP BY v
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .select((F.col("l_partkey") % 200 - 100).cast("int").alias("v"))
+    .groupBy("v")
+    .agg(F.count(F.lit(1)).alias("cnt"))
+    .select("v", POS.log2_bin(F.col("v")).alias("binned"), "cnt")
+)
+
+
+register(
+    "span_positions",  # P8: relative-position sequences, exploded
+    f"""
+    WITH spans AS (
+      SELECT p_partkey,
+             CAST(p_partkey % 4 AS INTEGER) AS s,
+             CAST(p_partkey % 4 + p_partkey % 3 AS INTEGER) AS e,
+             CAST(8 + p_partkey % 5 AS INTEGER) AS l
+      FROM part WHERE p_partkey < 100
+    ),
+    seqs AS (
+      SELECT p_partkey,
+             {POS.get_positions_duckdb('s', 'e', 'l')} AS posv
+      FROM spans
+    )
+    SELECT p_partkey,
+           generate_subscripts(posv, 1) - 1 AS idx,
+           unnest(posv) AS relpos,
+           unnest({POS.bin_positions_duckdb('posv')}) AS binned
+    FROM seqs
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "part")
+    .filter(F.col("p_partkey") < 100)
+    .select(
+        "p_partkey",
+        (F.col("p_partkey") % 4).cast("int").alias("s"),
+        (F.col("p_partkey") % 4 + F.col("p_partkey") % 3).cast("int").alias("e"),
+        (F.lit(8) + F.col("p_partkey") % 5).cast("int").alias("l"),
+    )
+    .select(
+        "p_partkey",
+        POS.get_positions(F.col("s"), F.col("e"), F.col("l")).alias("posv"),
+    )
+    .select(
+        "p_partkey",
+        F.posexplode("posv").alias("idx", "relpos"),
+        POS.bin_positions(F.col("posv")).alias("binned_arr"),
+    )
+    .select(
+        "p_partkey", "idx", "relpos",
+        F.col("binned_arr")[F.col("idx")].alias("binned"),
+    )
+)
+
+
+register(
+    "masked_token_stream",  # P2 entity masking, exploded per token
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 8
+    ),
+    masked AS (
+      SELECT doc_id,
+             list_transform(l, (x, i) ->
+               CASE WHEN i - 1 BETWEEN 4 AND 5 THEN 'OBJ-TITLE'
+                    WHEN i - 1 BETWEEN 1 AND 2 THEN 'SUBJ-PERSON'
+                    ELSE x END) AS m
+      FROM toks
+    )
+    SELECT doc_id, generate_subscripts(m, 1) - 1 AS idx, unnest(m) AS token
+    FROM masked
+    """,
+)(
+    lambda spark, sf: (
+        lambda docs: docs.filter(
+            (F.col("doc_id") < 200) & (F.size(F.split("text", " ")) >= 8)
+        )
+        .select("doc_id", F.split("text", " ").alias("l"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    "l",
+                    lambda x, i: F.when(
+                        (i >= 4) & (i <= 5), F.lit("OBJ-TITLE")
+                    )
+                    .when((i >= 1) & (i <= 2), F.lit("SUBJ-PERSON"))
+                    .otherwise(x),
+                )
+            ).alias("idx", "token"),
+        )
+    )(t(spark, sf, "documents"))
+)
+
+
+register(
+    "glove_bracket_normalize",  # P12 (ref:utils/vocab.py:46-55) demo over a
+    # derived token stream: normalize bracket forms appearing in documents
+    """
+    SELECT token,
+           CASE token WHEN '-LRB-' THEN '(' WHEN '-RRB-' THEN ')'
+                      WHEN '-LSB-' THEN '[' WHEN '-RSB-' THEN ']'
+                      WHEN '-LCB-' THEN '{' WHEN '-RCB-' THEN '}'
+                      ELSE token END AS normalized,
+           COUNT(*) AS cnt
+    FROM (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN '-LRB-'
+                  WHEN doc_id % 5 = 1 THEN '-RSB-'
+                  ELSE (string_split(text, ' '))[1] END AS token
+      FROM documents
+    )
+    GROUP BY token
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents")
+    .selectExpr(
+        "CASE WHEN doc_id % 5 = 0 THEN '-LRB-' "
+        "WHEN doc_id % 5 = 1 THEN '-RSB-' "
+        "ELSE split(text, ' ')[0] END AS token"
+    )
+    .groupBy("token")
+    .agg(F.count(F.lit(1)).alias("cnt"))
+    .selectExpr(
+        "token",
+        "CASE token WHEN '-LRB-' THEN '(' WHEN '-RRB-' THEN ')' "
+        "WHEN '-LSB-' THEN '[' WHEN '-RSB-' THEN ']' "
+        "WHEN '-LCB-' THEN '{' WHEN '-RCB-' THEN '}' ELSE token END "
+        "AS normalized",
+        "cnt",
+    )
+)

@@ -1,0 +1,86 @@
+"""Mirror of the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row-count, schema (column names), and order-insensitive values.
+
+Runs at sf0.001 for speed; the driver runs the same contract at sf0.01."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+ALL_QUERIES = sorted(entry.queries())
+ORACLES = entry.oracle_sql()
+
+
+@pytest.mark.parametrize("name", [q for q in ALL_QUERIES if q in ORACLES])
+def test_query_matches_oracle(spark, duck, name):
+    qdf = entry.queries()[name](spark, SF_DIR)
+    spark_cols = qdf.columns
+    spark_rows = [tuple(r) for r in qdf.collect()]
+
+    res = duck.sql(ORACLES[name])
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (a, b) for a, b in zip(ns, nd) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} diffs, first: {mismatches[:2]}"
+
+
+@pytest.mark.parametrize("name", [q for q in ALL_QUERIES if q not in ORACLES])
+def test_rows_only_queries_run(spark, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
