@@ -55,7 +55,34 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "obj_surface", "obj_type",
         )
 
-    return {"kg_triples": kg_triples, "kg_candidates": kg_candidates}
+    def kg_nodes(spark, sf_dir):
+        from relation_extraction_transformer_spark.plans import graph as GR
+
+        triples = PL.triples_plan(_pages(spark), spark, keep_probs=False)
+        nodes, _edges = GR.build_graph(triples, spark)
+        return nodes
+
+    def kg_edges(spark, sf_dir):
+        from relation_extraction_transformer_spark.plans import graph as GR
+
+        triples = PL.triples_plan(_pages(spark), spark, keep_probs=False)
+        _nodes, edges = GR.build_graph(triples, spark)
+        return edges.drop("source_urls")
+
+    def media_features(spark, sf_dir):
+        from relation_extraction_transformer_spark.operators import (
+            multimodal as MM,
+        )
+
+        return MM.extract_media_features(MM.synthetic_media(spark, 200))
+
+    return {
+        "kg_triples": kg_triples,
+        "kg_candidates": kg_candidates,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "media_features": media_features,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -19,6 +19,8 @@ MAX_LEN = 100     # positional-embedding index offset
 
 EMB_INIT_RANGE = 1.0
 
+VOCAB_PREFIX = (PAD_TOKEN, UNK_TOKEN)
+
 # --- ordered tag inventories (ids = 2 + position; 0/1 are PAD/UNK) ---------
 
 _SUBJ_NER = ("ORGANIZATION", "PERSON")

@@ -39,9 +39,9 @@ def generate_pairs(
     )
     capped = F.slice(pairs, 1, max_pairs_per_sentence)
 
-    passthrough = ["url", "sent_id", "tokens"] + (
-        ["ner"] if "ner" in mentions_df.columns else []
-    )
+    passthrough = ["url", "sent_id", "tokens"] + [
+        c for c in ("ner", "pos_ids", "ner_ids") if c in mentions_df.columns
+    ]
     exploded = mentions_df.select(
         *passthrough,
         F.posexplode(capped).alias("pair_id", "pair"),

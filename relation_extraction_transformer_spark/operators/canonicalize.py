@@ -1,0 +1,161 @@
+"""Entity canonicalization: minhash blocking + connected components.
+
+No reference counterpart (north-rule addition).  Near-duplicate entity
+names ("Alice Turner" / "alice turner" / "Turner") are merged into one
+canonical node:
+
+1. minhash signatures over character 3-gram shingles of the normalized
+   name (pure SQL: md5-salted min over a shingle array)
+2. LSH band self-join -> candidate equivalence edges (only pairs sharing
+   a band are ever compared: at 10^12 scale this is the only join that
+   matters, and it is an equi-join on band_hash, AQE-skew-splittable)
+3. verification: trigram Jaccard >= threshold on candidate pairs
+4. connected components by iterative min-label propagation with
+   ``localCheckpoint`` per iteration to cut lineage growth (SURVEY §4) —
+   the Spark-idiomatic form of map-side label exchange; iteration count
+   is O(log(diameter)) for name-similarity graphs (tiny diameters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _char_shingles(col, n: int = 3):
+    s = F.concat(F.lit("^"), col, F.lit("$"))
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - n + 1),
+            lambda i: s.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array(s))
+
+
+def minhash_band_hashes(
+    df: DataFrame, text_col: str, k: int = 8, bands: int = 2
+) -> DataFrame:
+    """Append ``band`` / ``band_hash`` rows (one per band) for LSH blocking.
+    df must have a unique ``node_id`` column."""
+    rows_per_band = k // bands
+    sh = df.select(
+        "node_id", F.explode(_char_shingles(F.col(text_col))).alias("s")
+    )
+    sigs = sh.groupBy("node_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"sig{i}")
+            for i in range(k)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{b}, md5(concat_ws('|', "
+        + ", ".join(f"sig{b * rows_per_band + r}" for r in range(rows_per_band))
+        + "))"
+        for b in range(bands)
+    )
+    return sigs.selectExpr(
+        "node_id", f"stack({bands}, {stack_args}) AS (band, band_hash)"
+    )
+
+
+def candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Self-join on (band, band_hash): src < dst, distinct."""
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .select(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"))
+        .distinct()
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, names: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Exact trigram-Jaccard verification of LSH candidates.
+
+    names: (node_id, name).  Pure array ops after two joins with the
+    (small relative to pairs) names table.
+    """
+    n1 = names.select(
+        F.col("node_id").alias("src"),
+        F.array_distinct(_char_shingles(F.col("name"))).alias("s1"),
+    )
+    n2 = names.select(
+        F.col("node_id").alias("dst"),
+        F.array_distinct(_char_shingles(F.col("name"))).alias("s2"),
+    )
+    j = (
+        pairs.join(n1, "src").join(n2, "dst")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        .withColumn(
+            "jac",
+            F.col("inter")
+            / (F.size("s1") + F.size("s2") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jac") >= threshold).select("src", "dst")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """(src, dst) undirected edges -> (node_id, component) with component =
+    min node_id reachable.  Iterative min-label propagation; each round is
+    one shuffle; ``localCheckpoint`` truncates lineage so the plan does not
+    grow exponentially across iterations.  Converges in O(log d) rounds via
+    label shortcutting (labels jump to the component minimum, not just the
+    neighbor minimum).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # each node proposes its current label to every neighbor
+        msgs = (
+            sym.join(labels, sym["src"] == labels["node_id"])
+            .select(F.col("dst").alias("node_id"), "component")
+        )
+        new_labels = (
+            labels.select("node_id", "component")
+            .union(msgs)
+            .groupBy("node_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        # label shortcutting: re-point every label at its label's label
+        lbl2 = new_labels.select(
+            F.col("node_id").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        shortcut = (
+            new_labels.join(
+                lbl2, new_labels["component"] == lbl2["c_node"], "left"
+            )
+            .select(
+                "node_id",
+                F.coalesce("c_comp", "component").alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            shortcut.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = shortcut
+        if changed == 0:
+            break
+    return labels

@@ -36,6 +36,16 @@ FEATURE_COLS = (
 )
 
 
+def as_dtype(params: dict, dtype) -> dict:
+    """Cast every float parameter array once (e.g. float32 for inference:
+    halves the GEMM memory traffic, which is the multi-core scaling
+    limiter on bandwidth-bound hosts).  Int arrays pass through."""
+    return {
+        k: (v.astype(dtype) if np.issubdtype(v.dtype, np.floating) else v)
+        for k, v in params.items()
+    }
+
+
 def predict_relations(
     candidates: DataFrame,
     params_bc: Broadcast,

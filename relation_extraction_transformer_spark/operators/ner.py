@@ -66,19 +66,94 @@ def gazetteer_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _ngram_spans(n: int):
+    """(start, end, surface) structs for all n-grams of the tokens column;
+    empty array when the sentence is shorter than n."""
+    toks = F.col("tokens")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.alias("m_start"),
+                (i + n - 1).alias("m_end"),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("surface"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<m_start:int,m_end:int,surface:string>>"
+    ))
+
+
+def _containment_filter(ms):
+    """Drop spans strictly contained in a longer kept span."""
+    return F.array_sort(
+        F.filter(
+            ms,
+            lambda m: ~F.exists(
+                ms,
+                lambda o: (o["m_start"] <= m["m_start"])
+                & (o["m_end"] >= m["m_end"])
+                & ((o["m_end"] - o["m_start"]) > (m["m_end"] - m["m_start"])),
+            ),
+        )
+    )
+
+
 def detect_mentions(
+    tokenized: DataFrame,
+    gaz_map: dict[str, str] | None = None,
+    max_phrase_tokens: int = G.MAX_PHRASE_TOKENS,
+) -> DataFrame:
+    """Longest-match gazetteer NER against a SMALL dictionary, entirely as
+    array expressions over a map literal — no join, no explode, no shuffle.
+    The whole sentence->mentions stage stays narrow, which is what makes
+    the candidate generation embarrassingly parallel at 100 TB.
+
+    For dictionaries too large for a map literal, use
+    :func:`detect_mentions_join` (broadcast join path) instead.
+
+    Output: url, sent_id, tokens, mentions array<struct> (sorted).
+    """
+    gaz_map = gaz_map if gaz_map is not None else G.build_gazetteer()
+    pairs: list = []
+    for phrase, typ in sorted(gaz_map.items()):
+        pairs.append(F.lit(phrase))
+        pairs.append(F.lit(typ))
+    gmap = F.create_map(*pairs)
+
+    spans = F.concat(*[_ngram_spans(n) for n in range(1, max_phrase_tokens + 1)])
+    typed = F.filter(
+        F.transform(
+            spans,
+            lambda sp: F.struct(
+                sp["m_start"].alias("m_start"),
+                sp["m_end"].alias("m_end"),
+                sp["surface"].alias("surface"),
+                F.element_at(gmap, sp["surface"]).alias("ner_type"),
+            ),
+        ),
+        lambda m: m["ner_type"].isNotNull(),
+    )
+    return tokenized.select(
+        "url", "sent_id", "tokens", _containment_filter(typed).alias("mentions")
+    )
+
+
+def detect_mentions_join(
     tokenized: DataFrame,
     gaz: DataFrame,
     max_phrase_tokens: int = G.MAX_PHRASE_TOKENS,
 ) -> DataFrame:
-    """Longest-match gazetteer NER.
+    """Longest-match gazetteer NER via broadcast join — the scale path for
+    dictionaries with millions of surface forms (entity-linking style).
 
     1. generate all n-gram spans (n = 1..max) as (start, end, phrase)
     2. broadcast join against the gazetteer
     3. drop mentions strictly contained in a longer mention of the same
        sentence (leftmost-longest semantics for the nested case)
 
-    Output: url, sent_id, tokens, m_start, m_end, surface, ner_type.
+    Output: url, sent_id, tokens, mentions array<struct> (sorted).
     """
     grams = None
     for n in range(1, max_phrase_tokens + 1):

@@ -39,7 +39,10 @@ def preprocess_candidates(pairs: DataFrame, lower: bool = False) -> DataFrame:
         ),
     )
     n = F.size("masked_tokens")
-    df = attach_tag_ids(df)
+    if "pos_ids" not in df.columns:
+        # tag ids are per-sentence; computing them upstream of the pair
+        # explode avoids recomputing per candidate — this is the fallback
+        df = attach_tag_ids(df)
     df = df.withColumn(
         "subj_positions",
         P.binned_span_positions(F.col("subj_start"), F.col("subj_end"), n),

@@ -49,10 +49,17 @@ _ARTIFACT_CACHE: dict[int, PipelineArtifacts] = {}
 def build_artifacts(
     spark: SparkSession, cfg: PipelineConfig = DEFAULT_PIPELINE
 ) -> PipelineArtifacts:
-    key = id(spark) ^ hash((cfg.model.seed, cfg.model.vocab_size))
+    key = id(spark) ^ hash(
+        (cfg.model.seed, cfg.model.vocab_size, cfg.inference_dtype)
+    )
     if key not in _ARTIFACT_CACHE:
+        from ..operators.inference import as_dtype
+
         vocab = G.static_vocab()
-        params = W.generate_weights(cfg.model, vocab_size=len(vocab))
+        params = as_dtype(
+            W.generate_weights(cfg.model, vocab_size=len(vocab)),
+            cfg.inference_dtype,
+        )
         _ARTIFACT_CACHE[key] = PipelineArtifacts(
             params_bc=spark.sparkContext.broadcast(params),
             vocab_bc=spark.sparkContext.broadcast(vocab),
@@ -68,8 +75,13 @@ def candidates_plan(
     extracted = PAGES.extract_text(pages).filter(F.col("lang") == "en")
     sentences = NER.split_sentences(extracted, text_col="extracted_text")
     tokenized = NER.tokenize(sentences)
-    kept = NER.detect_mentions(tokenized, arts.gaz)
+    # small closed-world dictionary -> shuffle-free inline NER; the
+    # broadcast-join path (detect_mentions_join) covers big dictionaries
+    kept = NER.detect_mentions(tokenized)
     tagged = NER.ner_tags_from_mentions(kept)
+    # per-sentence tag ids BEFORE the pair explode (computed once per
+    # sentence instead of once per candidate)
+    tagged = PRE.attach_tag_ids(tagged)
     pairs = CAND.generate_pairs(tagged, cfg.max_pairs_per_sentence)
     return PRE.preprocess_candidates(pairs, lower=cfg.model.lower)
 
@@ -83,7 +95,8 @@ def triples_plan(
     arts = build_artifacts(spark, cfg)
     feats = candidates_plan(pages, arts, cfg)
     slim = feats.select(
-        "url", "sent_id", "pair_id", "subj_surface", "obj_surface",
+        "url", "sent_id", "pair_id", "subj_surface", "subj_type",
+        "obj_surface", "obj_type",
         "masked_tokens", "pos_ids", "ner_ids", "subj_positions",
         "obj_positions",
     )
@@ -94,9 +107,9 @@ def triples_plan(
     triples = INF.triples_from_predictions(predicted)
     cols = [
         F.col("url"), F.col("sent_id"), F.col("pair_id"),
-        F.col("subj_surface").alias("subj"),
+        F.col("subj_surface").alias("subj"), F.col("subj_type"),
         F.col("pred_label").alias("pred"),
-        F.col("obj_surface").alias("obj"),
+        F.col("obj_surface").alias("obj"), F.col("obj_type"),
         F.col("prob"),
     ]
     if keep_probs:

@@ -495,23 +495,28 @@ def _duck_band(b: int) -> str:
 
 
 def _spark_minhash_bands(spark, sf):
-    docs = t(spark, sf, "documents").withColumn(
-        "sh", _spark_shingles(F.col("text"))
+    # one pass over the shingles: explode once, all K min-hashes in a
+    # single partial-aggregating groupBy, then stack() to unpivot bands —
+    # no repeated shingle construction, no union double-scan
+    sh_rows = t(spark, sf, "documents").select(
+        "doc_id", F.explode(_spark_shingles(F.col("text"))).alias("s")
     )
-    bands = []
-    for b in range(_MINHASH_BANDS):
-        sig = F.concat_ws(
-            "|", *[_spark_minhash_sig(F.col("sh"), k) for k in range(b * 4, b * 4 + 4)]
-        )
-        bands.append(
-            docs.select(
-                "doc_id", F.lit(b).alias("band"), F.md5(sig).alias("band_hash")
-            )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+    sigs = sh_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"sig{k}")
+            for k in range(_MINHASH_K)
+        ]
+    )
+    band_cols = [
+        f"{b}, md5(concat_ws('|', sig{b*4}, sig{b*4+1}, sig{b*4+2}, sig{b*4+3}))"
+        for b in range(_MINHASH_BANDS)
+    ]
+    return sigs.selectExpr(
+        "doc_id",
+        f"stack({_MINHASH_BANDS}, "
+        + ", ".join(band_cols)
+        + ") AS (band, band_hash)",
+    )
 
 
 register(

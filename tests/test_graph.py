@@ -1,0 +1,92 @@
+"""Entity linking, canonicalization, and graph materialization tests."""
+
+import pyspark.sql.functions as F
+
+from relation_extraction_transformer_spark.operators import canonicalize as CANON
+from relation_extraction_transformer_spark.operators import linking as LINK
+from relation_extraction_transformer_spark.plans import graph as GRAPH
+from relation_extraction_transformer_spark.plans import pipeline as PL
+from relation_extraction_transformer_spark.sources import pages as PG
+
+
+def test_connected_components_known_graph(spark):
+    # two components: {1,2,3,4} via chain, {10, 11}; 20 isolated via self-edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src: long, dst: long"
+    )
+    got = {
+        (r.node_id, r.component)
+        for r in CANON.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_connected_components_long_chain(spark):
+    # a 40-node path exercises label shortcutting (log-round convergence)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src: long, dst: long"
+    )
+    comps = CANON.connected_components(edges)
+    assert comps.select("component").distinct().count() == 1
+    assert comps.agg(F.min("component")).first()[0] == 0
+
+
+def test_linking_best_candidate(spark):
+    dictionary = LINK.entity_dictionary(spark)
+    df = spark.createDataFrame(
+        [
+            ("Alice Turner", "PERSON"),   # exact canonical
+            ("turner", "PERSON"),         # family-name alias, ambiguous ->
+                                          # lowest entity_id wins
+            ("Acme Corp", "ORGANIZATION"),
+            ("Unknownia", "CITY"),        # unlinkable
+        ],
+        "subj: string, subj_type: string",
+    ).withColumn("obj", F.lit("x")).withColumn("obj_type", F.lit("CITY"))
+    linked = LINK.link_triples(df, dictionary).collect()
+    by_surface = {r.subj: r for r in linked}
+    assert by_surface["Alice Turner"].subj_canonical == "Alice Turner"
+    assert by_surface["Acme Corp"].subj_canonical == "Acme Corp"
+    # alias rank 1 link still resolves to SOME Turner person
+    assert by_surface["turner"].subj_canonical.endswith("Turner")
+    # unlinkable keeps surface and synthesizes a stable id
+    assert by_surface["Unknownia"].subj_canonical == "Unknownia"
+    assert by_surface["Unknownia"].subj_entity_id is not None
+    # determinism of ambiguous links
+    linked2 = {r.subj: r.subj_entity_id for r in LINK.link_triples(df, dictionary).collect()}
+    assert linked2 == {r.subj: r.subj_entity_id for r in linked}
+
+
+def test_minhash_blocking_finds_near_duplicates(spark):
+    names = spark.createDataFrame(
+        [
+            (1, "alice turner"),
+            (2, "alice turner"),      # exact dup
+            (3, "alicia turner"),     # near dup
+            (4, "globex inc"),
+        ],
+        "node_id: long, name: string",
+    )
+    bands = CANON.minhash_band_hashes(names, "name")
+    pairs = CANON.candidate_pairs(bands)
+    verified = {
+        (r.src, r.dst)
+        for r in CANON.verify_pairs_jaccard(pairs, names, 0.5).collect()
+    }
+    assert (1, 2) in verified
+    assert all(4 not in p for p in verified)
+
+
+def test_build_graph_end_to_end(spark):
+    pages = PG.synthetic_pages(spark, 40, seed=11, partitions=4)
+    triples = PL.triples_plan(pages, spark, keep_probs=False)
+    nodes, edges = GRAPH.build_graph(triples, spark)
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    assert n_nodes > 5 and n_edges > 5
+    # every edge endpoint resolves to a node
+    node_ids = {r.canonical_id for r in nodes.collect()}
+    for r in edges.select("src", "dst").collect():
+        assert r.src in node_ids and r.dst in node_ids
+    # weights aggregate multiple evidence rows
+    assert edges.agg(F.max("weight")).first()[0] >= 1

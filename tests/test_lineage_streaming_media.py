@@ -1,0 +1,104 @@
+"""Checkpoint-resume, streaming, and multimodal plumbing tests."""
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from relation_extraction_transformer_spark.operators import multimodal as MM
+from relation_extraction_transformer_spark.plans import lineage as LIN
+from relation_extraction_transformer_spark.sources import pages as PG
+from relation_extraction_transformer_spark.streaming import stream as ST
+
+
+def test_resumable_materialization(spark, tmp_path):
+    out = str(tmp_path / "kg_out")
+    pages = PG.synthetic_pages(spark, 40, seed=5, partitions=4)
+
+    r1 = LIN.materialize_triples_resumable(
+        spark, pages, out, run_id="r1", n_buckets=8, buckets_per_group=4
+    )
+    assert sorted(r1.buckets_done) == list(range(8))
+    n1 = spark.read.parquet(f"{out}/triples").count()
+    assert n1 == r1.rows_out > 0
+
+    # resume: everything already done -> nothing recomputed
+    r2 = LIN.materialize_triples_resumable(
+        spark, pages, out, run_id="r2", n_buckets=8, buckets_per_group=4
+    )
+    assert r2.buckets_done == [] and sorted(r2.buckets_skipped) == list(range(8))
+    assert spark.read.parquet(f"{out}/triples").count() == n1
+
+    # partial manifest: drop half the manifest -> only missing buckets redone
+    manifest = spark.read.parquet(f"{out}/_manifest")
+    half_rows = manifest.filter(F.col("bucket") < 4).collect()
+    shutil.rmtree(f"{out}/_manifest")
+    spark.createDataFrame(half_rows, manifest.schema).write.parquet(
+        f"{out}/_manifest"
+    )
+    r3 = LIN.materialize_triples_resumable(
+        spark, pages, out, run_id="r3", n_buckets=8, buckets_per_group=4
+    )
+    assert sorted(r3.buckets_done) == [4, 5, 6, 7]
+    assert spark.read.parquet(f"{out}/triples").count() == n1
+
+    # lineage rows recorded per run
+    m = spark.read.parquet(f"{out}/_metrics")
+    assert {r.run_id for r in m.collect()} >= {"r1", "r3"}
+
+
+def test_observed_metrics(spark):
+    pages = PG.synthetic_pages(spark, 30, seed=9, partitions=3)
+    m = LIN.observed_pipeline_metrics(spark, pages)
+    assert m["pages"] == 30
+    assert m["sentences"] > 0
+    assert m["candidates"] > 0
+    assert 0 < m["triples"] <= m["candidates"]
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    out = str(tmp_path / "win_out")
+    ck = str(tmp_path / "ck")
+    q = ST.run_stream_to_parquet(
+        ST.windowed_event_counts(spark, src), out, ck, once=True
+    )
+    assert not q.isActive
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(got.columns) == {
+        "window_start", "window_end", "event_type", "n", "value_cents"
+    }
+
+
+def test_streaming_triples_incremental(spark, tmp_path):
+    src = str(tmp_path / "pages_src")
+    PG.synthetic_pages(spark, 20, seed=13, partitions=2).write.parquet(src)
+    out = str(tmp_path / "triples_out")
+    ck = str(tmp_path / "ck2")
+    ST.run_stream_to_parquet(ST.streaming_triples(spark, src), out, ck, once=True)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # append more pages -> only the new files are processed on resume
+    PG.synthetic_pages(spark, 10, seed=14, partitions=1).write.mode(
+        "append"
+    ).parquet(src)
+    ST.run_stream_to_parquet(ST.streaming_triples(spark, src), out, ck, once=True)
+    n2 = spark.read.parquet(out).count()
+    assert n2 > n1
+
+
+def test_media_features_and_dedup(spark):
+    media = MM.synthetic_media(spark, 30, seed=3)
+    feats = MM.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows[:5]:
+        assert len(r.features) == 16
+        assert r.decoder == "stub-histogram"  # no codec libs in container
+        assert r.n_bytes > 0
+    # determinism
+    again = {r.media_id: r.sha1 for r in MM.extract_media_features(media).collect()}
+    assert again == {r.media_id: r.sha1 for r in rows}
+    # content dedup composes (no dups in this corpus -> empty result is fine)
+    assert MM.media_dedup_by_content(feats).count() >= 0
