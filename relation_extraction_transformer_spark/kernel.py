@@ -53,6 +53,30 @@ def _batch_norm_eval(x: np.ndarray, p: Params, pre: str) -> np.ndarray:
     return gamma * (x - mean) / np.sqrt(var + EPS_BN) + beta
 
 
+def _layer_norm(x: np.ndarray, p: Params, pre: str, eps: float = 1e-5) -> np.ndarray:
+    """LayerNorm over d_model (ref:transformer/SubLayers.py:68,164) — the
+    use_batch_norm=False variant; reuses the gamma/beta parameter slots."""
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (
+        p[pre + "_bn_gamma"] * (x - mean) / np.sqrt(var + eps)
+        + p[pre + "_bn_beta"]
+    )
+
+
+def sinusoid_table(n_position: int, d: int) -> np.ndarray:
+    """K2: fixed sinusoid position table with zeroed PAD row
+    (ref:model/transformer/Models.py:18-36)."""
+    pos = np.arange(n_position)[:, None]
+    dim = np.arange(d)[None, :]
+    angle = pos / np.power(10000.0, 2 * (dim // 2) / d)
+    table = np.zeros((n_position, d))
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    table[C.PAD_ID] = 0.0
+    return table
+
+
 def _stripe_indices(length: int) -> tuple[np.ndarray, np.ndarray]:
     """Index arrays realizing the reference's flip + as_strided diagonal
     stripe (ref:model/transformer/Modules.py:46-90).
@@ -74,22 +98,26 @@ def _stripe_indices(length: int) -> tuple[np.ndarray, np.ndarray]:
 def encoder_forward(
     p: Params,
     cfg: ModelConfig,
-    x: np.ndarray,          # (B, l, d) input embeddings incl. obj positional
-    dpa: np.ndarray,        # (2l-1, d) diagonal positional embeddings
+    x: np.ndarray,              # (B, l, d) input embeddings incl. positional
+    dpa: np.ndarray | None,     # (2l-1, d) diagonal positional embeddings,
+                                # None when diagonal_positional_attention off
 ) -> np.ndarray:
     """One stack of EncoderLayers (shipped: one layer) for a same-length
-    batch with no padding (mask-free)."""
+    batch with no padding (mask-free).  Honors the reference's architecture
+    flags: use_batch_norm (BatchNorm running stats vs LayerNorm) and
+    new_residual (residual redirected to the FFN vs classic placement)."""
     B, l, d = x.shape
     H, dk = cfg.n_head, cfg.d_k
     temper = float(np.power(d, cfg.temper_value))  # on d_model, not d_k
     # (ref:model/transformer/SubLayers.py:59-62)
 
+    norm = _batch_norm_eval if cfg.use_batch_norm else _layer_norm
     row_idx, col_idx = _stripe_indices(l)
 
     out = x
     for layer in range(cfg.num_layers_encoder):
         pre = f"l{layer}_"
-        residual = out  # encoder-layer input; new_residual routes it to FFN
+        residual = out  # encoder-layer input
         # (ref:model/transformer/Layers.py:50-53)
 
         # K5: QKV projections, split to heads -> (H, B, l, dk)
@@ -103,12 +131,13 @@ def encoder_forward(
         # K6: scaled dot-product scores
         attn = q @ k.transpose(0, 1, 3, 2) / temper  # (H, B, l, l)
 
-        # K7: diagonal-stripe relative attention
-        dproj = _linear(dpa, p, pre + "dpa").reshape(2 * l - 1, H, dk)
-        dproj = dproj.transpose(1, 0, 2)             # (H, 2l-1, dk)
-        attn_pos = q @ dproj[:, None].transpose(0, 1, 3, 2) / temper
-        # (H, B, l, 2l-1) -> stripe -> (H, B, l, l)
-        attn = attn + attn_pos[:, :, row_idx, col_idx]
+        if dpa is not None:
+            # K7: diagonal-stripe relative attention
+            dproj = _linear(dpa, p, pre + "dpa").reshape(2 * l - 1, H, dk)
+            dproj = dproj.transpose(1, 0, 2)             # (H, 2l-1, dk)
+            attn_pos = q @ dproj[:, None].transpose(0, 1, 3, 2) / temper
+            # (H, B, l, 2l-1) -> stripe -> (H, B, l, l)
+            attn = attn + attn_pos[:, :, row_idx, col_idx]
 
         # K9: softmax (dropout identity at eval)
         attn = _softmax(attn, axis=-1)
@@ -120,16 +149,20 @@ def encoder_forward(
         o = (attn @ v).transpose(1, 2, 0, 3).reshape(B, l, H * dk)
         o = _linear(o, p, pre + "fc")
 
-        # K12: batch-norm WITHOUT residual (new_residual=True routes the
-        # residual to the FFN instead — ref:transformer/SubLayers.py:131-132)
-        o = _batch_norm_eval(o, p, pre + "mha")
+        # K12/K14: norm + residual routing
+        # new_residual=True: norm(o) here, residual added in the FFN
+        # (ref:transformer/SubLayers.py:131-135); classic: norm(o + residual)
+        mha_out = norm(o if cfg.new_residual else o + residual, p, pre + "mha")
 
-        # K13/K14: position-wise FFN with the redirected residual
-        h = _linear(o, p, pre + "ffn1")
+        # K13: position-wise FFN
+        h = _linear(mha_out, p, pre + "ffn1")
         h = np.where(h >= 0, h, h * RRELU_EVAL_SLOPE)
         h = _linear(h, p, pre + "ffn2")
-        out = _batch_norm_eval(h + residual, p, pre + "ffn")
-        # (ref:transformer/SubLayers.py:171-192)
+        # K14: FFN residual is the redirected encoder-layer input under
+        # new_residual, else the FFN's own input
+        # (ref:transformer/SubLayers.py:171-192, Layers.py:50-53)
+        ffn_res = residual if cfg.new_residual else mha_out
+        out = norm(h + ffn_res, p, pre + "ffn")
 
     return out
 
@@ -156,15 +189,32 @@ def forward_batch(
         [p["word_emb"][words], p["pos_emb"][pos], p["ner_emb"][ner]], axis=2
     )
 
-    # K3: add learned OBJECT positional embeddings, shifted by +10 in the
-    # relative_positions config (ref:relation_model.py:402-404,
-    # ref:transformer/Models.py:183 — object only in the shipped config)
-    x = x + p["enc2_emb"][obj_pos + 10]
+    if cfg.diagonal_positional_attention:
+        assert cfg.relative_positions, (
+            "the reference's dpa path indexes enc2 with binned relative "
+            "positions (+10); unbinned positions would overrun the table"
+        )
+        # K3: add learned OBJECT positional embeddings, shifted by +10 in
+        # the relative_positions config (ref:relation_model.py:402-404,
+        # ref:transformer/Models.py:183 — object only in the shipped config)
+        x = x + p["enc2_emb"][obj_pos + 10]
 
-    # K4: diagonal positional range [96-l .. 96+l-2]
-    # (ref:data/loader.py:142-143); same vector for every example of length l
-    rel = np.arange(C.ABS_MAX_LEN - l, C.ABS_MAX_LEN + l - 1)
-    dpa = p["dpa_emb"][rel]
+        # K4: diagonal positional range [96-l .. 96+l-2]
+        # (ref:data/loader.py:142-143); same vector per length l
+        rel = np.arange(C.ABS_MAX_LEN - l, C.ABS_MAX_LEN + l - 1)
+        dpa = p["dpa_emb"][rel]
+    else:
+        # K2: sinusoid positional path (ref:transformer/Models.py:165-168,
+        # 201-202): src_pos = 1..l for unpadded same-length batches
+        # (ref:data/loader.py:120)
+        sin = p.get("sinusoid")
+        if sin is None:
+            sin = sinusoid_table(C.ABS_MAX_LEN + 1, cfg.d_model)
+            if np.issubdtype(x.dtype, np.floating):
+                sin = sin.astype(x.dtype)
+            p["sinusoid"] = sin
+        x = x + sin[np.arange(1, l + 1)]
+        dpa = None
 
     out = encoder_forward(p, cfg, x, dpa)
 

@@ -103,6 +103,29 @@ def _bn(x: np.ndarray, p: Params, pre: str) -> np.ndarray:
     )
 
 
+def _ln(x: np.ndarray, p: Params, pre: str) -> np.ndarray:
+    # LayerNorm variant (use_batch_norm=False, ref:SubLayers.py:68,164);
+    # written with an explicit per-position loop to stay an independent
+    # implementation from kernel._layer_norm
+    out = np.empty_like(x)
+    for i in range(x.shape[0]):
+        row = x[i]
+        mu = row.mean()
+        var = ((row - mu) ** 2).mean()
+        out[i] = p[pre + "_bn_gamma"] * (row - mu) / np.sqrt(var + 1e-5) \
+            + p[pre + "_bn_beta"]
+    return out
+
+
+def _sinusoid_row(pos: int, d: int) -> np.ndarray:
+    # K2 per-position sinusoid (ref:transformer/Models.py:18-31)
+    row = np.empty(d)
+    for j in range(d):
+        angle = pos / np.power(10000.0, 2 * (j // 2) / d)
+        row[j] = np.sin(angle) if j % 2 == 0 else np.cos(angle)
+    return row
+
+
 def _sm(x: np.ndarray) -> np.ndarray:
     e = np.exp(x - x.max(axis=-1, keepdims=True))
     return e / e.sum(axis=-1, keepdims=True)
@@ -128,10 +151,17 @@ def naive_forward_example(
     )
     obj_pos = np.asarray(ex.obj_positions)
     subj_pos = np.asarray(ex.subj_positions)
-    x = x + p["enc2_emb"][obj_pos + 10]
 
-    rel = list(range(C.ABS_MAX_LEN - l, C.ABS_MAX_LEN + l - 1))
-    dpa = p["dpa_emb"][np.asarray(rel)]  # (2l-1, d)
+    if cfg.diagonal_positional_attention:
+        x = x + p["enc2_emb"][obj_pos + 10]
+        rel = list(range(C.ABS_MAX_LEN - l, C.ABS_MAX_LEN + l - 1))
+        dpa = p["dpa_emb"][np.asarray(rel)]  # (2l-1, d)
+    else:
+        for i in range(l):  # K2 sinusoid path (ref:Models.py:165-168,202)
+            x[i] = x[i] + _sinusoid_row(i + 1, d)
+        dpa = None
+
+    norm = _bn if cfg.use_batch_norm else _ln
 
     out = x
     for layer in range(cfg.num_layers_encoder):
@@ -143,22 +173,24 @@ def naive_forward_example(
             q = out @ p[pre + "qs_w"].T[:, sl] + p[pre + "qs_b"][sl]
             k = out @ p[pre + "ks_w"].T[:, sl] + p[pre + "ks_b"][sl]
             v = out @ p[pre + "vs_w"].T[:, sl] + p[pre + "vs_b"][sl]
-            dp = dpa @ p[pre + "dpa_w"].T[:, sl] + p[pre + "dpa_b"][sl]
             attn = (q @ k.T) / temper
-            attn_pos = (q @ dp.T) / temper  # (l, 2l-1)
-            # diagonal stripe (ref:model/transformer/Modules.py:46-90):
-            # attn[i, j] += attn_pos[l-1-i, i+j]
-            for i in range(l):
-                for j in range(l):
-                    attn[i, j] += attn_pos[l - 1 - i, i + j]
+            if dpa is not None:
+                dp = dpa @ p[pre + "dpa_w"].T[:, sl] + p[pre + "dpa_b"][sl]
+                attn_pos = (q @ dp.T) / temper  # (l, 2l-1)
+                # diagonal stripe (ref:model/transformer/Modules.py:46-90):
+                # attn[i, j] += attn_pos[l-1-i, i+j]
+                for i in range(l):
+                    for j in range(l):
+                        attn[i, j] += attn_pos[l - 1 - i, i + j]
             attn = _sm(attn)
             merged[:, sl] = attn @ v
         o = merged @ p[pre + "fc_w"].T + p[pre + "fc_b"]
-        o = _bn(o, p, pre + "mha")
-        hdn = o @ p[pre + "ffn1_w"].T + p[pre + "ffn1_b"]
+        mha_out = norm(o if cfg.new_residual else o + residual, p, pre + "mha")
+        hdn = mha_out @ p[pre + "ffn1_w"].T + p[pre + "ffn1_b"]
         hdn = np.where(hdn >= 0, hdn, hdn * RRELU_EVAL_SLOPE)
         hdn = hdn @ p[pre + "ffn2_w"].T + p[pre + "ffn2_b"]
-        out = _bn(hdn + residual, p, pre + "ffn")
+        ffn_res = residual if cfg.new_residual else mha_out
+        out = norm(hdn + ffn_res, p, pre + "ffn")
 
     hidden = out.max(axis=0)  # K15
 

@@ -101,5 +101,7 @@ def build_graph(
 def write_graph(
     nodes: DataFrame, edges: DataFrame, base_path: str
 ) -> None:
-    nodes.write.mode("overwrite").parquet(f"{base_path}/nodes")
-    edges.write.mode("overwrite").parquet(f"{base_path}/edges")
+    from ..sources.tables import write_table
+
+    write_table(nodes, f"{base_path}/nodes")
+    write_table(edges, f"{base_path}/edges")

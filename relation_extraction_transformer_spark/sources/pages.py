@@ -86,13 +86,15 @@ def synthetic_pages(
 
 
 def write_pages(df: DataFrame, path: str, partition_by_lang: bool = True) -> None:
-    """Materialize pages as a partitioned table (Iceberg in production —
-    parquet stands in here since the sandbox has no Iceberg jars; the
-    DataFrame code path is identical)."""
-    w = df.write.mode("overwrite")
-    if partition_by_lang:
-        w = w.partitionBy("lang")
-    w.parquet(path)
+    """Materialize pages as a partitioned lakehouse table (Iceberg on a
+    real cluster, parquet here — see sources/tables.py).  Partitioning by
+    lang makes the pipeline's ``lang = 'en'`` filter a partition-pruning
+    predicate instead of a row filter."""
+    from .tables import write_table
+
+    write_table(
+        df, path, partition_by=["lang"] if partition_by_lang else None
+    )
 
 
 def extract_text(pages: DataFrame) -> DataFrame:

@@ -104,3 +104,56 @@ def test_preprocess_example_matches_reference_semantics():
     # spans: subj [0,1], obj [4,5], length 7
     assert ex.subj_positions == oracle.bin_positions([0, 0, 1, 2, 3, 4, 5])
     assert ex.obj_positions == oracle.bin_positions([-4, -3, -2, -1, 0, 0, 1])
+
+
+VARIANTS = [
+    # (use_batch_norm, new_residual, diagonal_positional_attention)
+    (True, True, True),     # shipped default
+    (False, True, True),    # layer-norm
+    (True, False, True),    # classic residual
+    (False, False, True),   # both off
+    (True, True, False),    # sinusoid positional path (no dpa)
+    (False, False, False),  # fully classic transformer encoder
+]
+
+
+@pytest.mark.parametrize("bn,nr,dpa", VARIANTS)
+def test_architecture_variants_parity(bn, nr, dpa):
+    """Every reference architecture flag combination: vectorized kernel vs
+    naive oracle (ref:runner.py:104-132 flag surface)."""
+    cfg = ModelConfig(
+        vocab_size=500, use_batch_norm=bn, new_residual=nr,
+        diagonal_positional_attention=dpa,
+    )
+    params = generate_weights(cfg)
+    rng = np.random.default_rng(42)
+    for l in (1, 5, 17):
+        examples = [_random_example(rng, l) for _ in range(3)]
+        words = np.array([e.word_ids for e in examples])
+        pos = np.array([e.pos_ids for e in examples])
+        ner = np.array([e.ner_ids for e in examples])
+        sp = np.array([e.subj_positions for e in examples])
+        op = np.array([e.obj_positions for e in examples])
+        preds, probs = kernel.forward_batch(params, cfg, words, pos, ner, sp, op)
+        for i, e in enumerate(examples):
+            pred_n, probs_n = oracle.naive_forward_example(params, cfg, e)
+            np.testing.assert_allclose(
+                probs[i], probs_n, rtol=1e-9, atol=1e-12,
+                err_msg=f"variant bn={bn} nr={nr} dpa={dpa} l={l}",
+            )
+            assert preds[i] == pred_n
+
+
+def test_variants_actually_differ():
+    """The flags must change the computation (guard against dead flags)."""
+    rng = np.random.default_rng(5)
+    e = _random_example(rng, 9)
+    outs = []
+    for bn, nr, dpa in VARIANTS:
+        cfg = ModelConfig(
+            vocab_size=500, use_batch_norm=bn, new_residual=nr,
+            diagonal_positional_attention=dpa,
+        )
+        _, probs = oracle.naive_forward_example(generate_weights(cfg), cfg, e)
+        outs.append(tuple(np.round(probs, 12)))
+    assert len(set(outs)) == len(outs)
