@@ -15,7 +15,10 @@ Eval-mode simplifications (ref:relation_model.py:96, eval.py:82):
 - BatchNorm1d uses running statistics (a per-channel affine transform)
 - RReLU acts as LeakyReLU with slope (lower+upper)/2
 
-All arithmetic is float64.  Results are batch-invariant up to BLAS GEMM
+Arithmetic dtype follows the parameter arrays (float64 for the oracle,
+float32 on the pipeline hot path — see PipelineConfig.inference_dtype; the
+end-to-end test pins fp32-vs-fp64 triple equality).  Results are
+batch-invariant up to BLAS GEMM
 blocking noise (the stacked-matrix height changes dgemm's summation order,
 perturbing the last float bit); predictions (argmax) are stable, and parity
 tests compare probs at rtol 1e-9.  Pin BLAS to one thread per Spark task

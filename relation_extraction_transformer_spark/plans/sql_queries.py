@@ -1348,3 +1348,93 @@ register(
         "cnt",
     )
 )
+
+
+# ===========================================================================
+# §10 Grouping-set / distinct-agg extensions (no reference counterpart;
+# standard warehouse surface a replacement engine must offer)
+# ===========================================================================
+
+register(
+    "rollup_order_counts",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .rollup("l_returnflag", "l_linestatus")
+    .agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+    )
+)
+
+
+register(
+    "cube_event_stats",
+    """
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "events")
+    .select(
+        "event_type", (F.col("user_id") % 10).cast("long").alias("user_bucket")
+    )
+    .cube("event_type", "user_bucket")
+    .agg(F.count(F.lit(1)).alias("cnt"))
+)
+
+
+register(
+    "distinct_users_per_type",  # distinct aggregation (entity cardinality)
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS events
+    FROM events GROUP BY event_type
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "events")
+    .groupBy("event_type")
+    .agg(
+        F.count_distinct(F.col("user_id")).alias("distinct_users"),
+        F.count(F.lit(1)).alias("events"),
+    )
+)
+
+
+register(
+    "set_ops_customers",  # intersect / except surface
+    """
+    SELECT c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+)(
+    lambda spark, sf: (
+        lambda orders: orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .intersect(
+            orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+                F.col("o_custkey").alias("c_custkey")
+            )
+        )
+        .exceptAll(
+            orders.filter(F.col("o_totalprice") > 400000).select(
+                F.col("o_custkey").alias("c_custkey")
+            )
+        ).distinct()
+    )(t(spark, sf, "orders"))
+)
