@@ -1438,3 +1438,82 @@ register(
         ).distinct()
     )(t(spark, sf, "orders"))
 )
+
+
+register(
+    "embedding_near_dup_pairs",  # embedding-cosine near-dup (dedup family):
+    # LSH-bucket blocking -> exact quantized cosine >= 0.99 within buckets
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             {_DUCK_QUANT} AS v,
+             CAST({" + ".join(
+        f"(CASE WHEN CAST(list_sum(list_transform(range(1, {_DIM} + 1), "
+        f"i -> ({_DUCK_QUANT})[i] * ({_duck_plane_literal(k)})[i])) AS BIGINT) >= 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(_N_PLANES)
+    )} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+             i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+        CAST(list_sum(list_transform(a.v, x -> x * x)) AS BIGINT) AS aa,
+        CAST(list_sum(list_transform(b.v, x -> x * x)) AS BIGINT) AS bb
+      FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND(CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6)
+             AS cosine
+    FROM pairs
+    WHERE aa > 0 AND bb > 0
+      AND CAST(dot AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))) >= 0.9
+    """,
+)(
+    lambda spark, sf: (
+        lambda q: q.alias("a")
+        .join(
+            q.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _spark_int_dot(F.col("a.v"), F.col("b.v")).alias("dot"),
+            _spark_int_dot(F.col("a.v"), F.col("a.v")).alias("aa"),
+            _spark_int_dot(F.col("b.v"), F.col("b.v")).alias("bb"),
+        )
+        .filter((F.col("aa") > 0) & (F.col("bb") > 0))
+        .withColumn(
+            "cosine_raw",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("aa").cast("double")) * F.sqrt(F.col("bb").cast("double"))),
+        )
+        .filter(F.col("cosine_raw") >= 0.9)
+        .select(
+            "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
+        )
+    )(
+        t(spark, sf, "embeddings").select(
+            "vec_id",
+            _spark_quantize(F.col("embedding")).alias("v"),
+            sum(
+                [
+                    F.when(
+                        _spark_int_dot(
+                            _spark_quantize(F.col("embedding")),
+                            F.array(*[F.lit(x).cast("long") for x in _PLANES[k]]),
+                        )
+                        >= 0,
+                        F.lit(1 << k),
+                    ).otherwise(F.lit(0))
+                    for k in range(_N_PLANES)
+                ],
+                F.lit(0),
+            ).cast("long").alias("bucket"),
+        )
+    )
+)

@@ -102,3 +102,40 @@ def test_media_features_and_dedup(spark):
     assert again == {r.media_id: r.sha1 for r in rows}
     # content dedup composes (no dups in this corpus -> empty result is fine)
     assert MM.media_dedup_by_content(feats).count() >= 0
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    from relation_extraction_transformer_spark.streaming import stateful as SD
+
+    src = str(tmp_path / "dup_pages")
+    out = str(tmp_path / "dedup_out")
+    ck = str(tmp_path / "dedup_ck")
+    p1 = PG.synthetic_pages(spark, 30, seed=31, partitions=2)
+    p1.select("url", "warc_ts", "lang", "text").write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, lang string, text string"
+        ).parquet(src)
+        q = (
+            SD.dedup_pages_stream(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .format("parquet").option("path", out)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 30  # all first-seen
+
+    # re-deliver the SAME 30 pages plus 10 new ones -> only 10 emitted
+    p1.select("url", "warc_ts", "lang", "text").write.mode("append").parquet(src)
+    PG.synthetic_pages(spark, 40, seed=31, partitions=2).filter(
+        ~F.col("url").isin([r.url for r in p1.select("url").collect()])
+    ).select("url", "warc_ts", "lang", "text").write.mode("append").parquet(src)
+    run_once()
+    urls = [r.url for r in spark.read.parquet(out).collect()]
+    assert len(urls) == len(set(urls)), "stream emitted a duplicate url"
+    assert len(urls) == 40
