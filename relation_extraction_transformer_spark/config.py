@@ -23,6 +23,7 @@ class ModelConfig:
 
     # encoder (ref:runner.py:46-56,134)
     num_layers_encoder: int = 1
+    num_layers_lstm: int = 2        # ref:runner.py:50 (alt LSTM path)
     n_head: int = 3
     hidden_self: int = 130          # FFN inner dim
     temper_value: float = 0.5       # attention temper exponent on d_model

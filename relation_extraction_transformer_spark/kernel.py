@@ -170,6 +170,46 @@ def encoder_forward(
     return out
 
 
+def lstm_forward(
+    p: Params, cfg: ModelConfig, x: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """K16: multi-layer batch-first LSTM, eval mode (inter-layer dropout
+    identity), torch gate order (i, f, g, o)
+    (ref:relation_model.py:298-304,439-458; pack_padded is a no-op for
+    same-length batches).
+
+    Returns (outputs (B, l, H), last_hidden (B, H)) where last_hidden is
+    the final layer's h_T (ref:relation_model.py:457 ``ht[-1]``)."""
+    B, l, d = x.shape
+    H = d  # hidden_dim == d_model in the shipped config (ref:runner.py:45)
+    out = x
+    h = None
+    for layer in range(cfg.num_layers_lstm):
+        pre = f"lstm{layer}_"
+        w_ih, w_hh = p[pre + "w_ih"], p[pre + "w_hh"]
+        bias = p[pre + "b_ih"] + p[pre + "b_hh"]
+        h = np.zeros((B, H), dtype=out.dtype)
+        c = np.zeros((B, H), dtype=out.dtype)
+        # hoist the input projection out of the time loop (one GEMM)
+        xg = out @ w_ih.T + bias            # (B, l, 4H)
+        seq = np.empty_like(out)
+        for t in range(l):
+            g = xg[:, t] + h @ w_hh.T       # (B, 4H)
+            i = _sigmoid(g[:, 0:H])
+            f = _sigmoid(g[:, H:2 * H])
+            gg = np.tanh(g[:, 2 * H:3 * H])
+            o = _sigmoid(g[:, 3 * H:4 * H])
+            c = f * c + i * gg
+            h = o * np.tanh(c)
+            seq[:, t] = h
+        out = seq
+    return out, h
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
 def forward_batch(
     p: Params,
     cfg: ModelConfig,
@@ -188,9 +228,18 @@ def forward_batch(
     assert l >= 1
 
     # K1: concat feature embeddings -> (B, l, 360)
-    x = np.concatenate(
+    base = np.concatenate(
         [p["word_emb"][words], p["pos_emb"][pos], p["ner_emb"][ner]], axis=2
     )
+
+    if not cfg.self_att:
+        # K16 alternative: LSTM encoder over the RAW concat embeddings (no
+        # positional additions on this path, ref:relation_model.py:439-458)
+        out, hidden = lstm_forward(p, cfg, base)
+        value_seq = out
+        return _classify(p, cfg, out, hidden, value_seq, subj_pos, obj_pos)
+
+    x = base
 
     if cfg.diagonal_positional_attention:
         assert cfg.relative_positions, (
@@ -225,6 +274,26 @@ def forward_batch(
     # (ref:relation_model.py:419-420); no pads in a same-length group
     hidden = out.max(axis=1)
 
+    if cfg.self_att_and_rnn:
+        # combined mode (ref:relation_model.py:425-437,471-472): attention
+        # scores from the self-attention outputs, weighted sum over the
+        # LSTM outputs (lstm_layer=True in PositionAwareAttention)
+        value_seq, _ = lstm_forward(p, cfg, base)
+    else:
+        value_seq = out
+
+    return _classify(p, cfg, out, hidden, value_seq, subj_pos, obj_pos)
+
+
+def _classify(
+    p: Params,
+    cfg: ModelConfig,
+    attn_x: np.ndarray,     # (B, l, d) sequence the attention scores see
+    hidden: np.ndarray,     # (B, d) query vector
+    value_seq: np.ndarray,  # (B, l, d) sequence the weights average
+    subj_pos: np.ndarray,
+    obj_pos: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
     # K17: position-aware attention a = t' . tanh(Ux + Vq + Wf)
     # (ref:relation_model.py:142-242,461-474)
     f = np.concatenate(
@@ -232,11 +301,11 @@ def forward_batch(
         axis=2,
     )
     scores = np.tanh(
-        _linear(out, p, "u") + _linear(hidden, p, "v")[:, None, :]
+        _linear(attn_x, p, "u") + _linear(hidden, p, "v")[:, None, :]
         + _linear(f, p, "w")
     ) @ p["t_w"].T + p["t_b"]                       # (B, l, 1)
     w = _softmax(scores[..., 0], axis=-1)           # (B, l)
-    final = np.einsum("bl,bld->bd", w, out)
+    final = np.einsum("bl,bld->bd", w, value_seq)
 
     # K18/K19: classifier, softmax, argmax
     logits = _linear(final, p, "cls")

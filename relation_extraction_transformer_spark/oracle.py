@@ -131,6 +131,34 @@ def _sm(x: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
+def _naive_lstm(p: Params, cfg: ModelConfig, x: np.ndarray):
+    """K16, independent form: single example, explicit gate-by-gate loops
+    (ref:relation_model.py:298-304; torch gate order i, f, g, o)."""
+    l, d = x.shape
+    hid = d
+    seq_in = x
+    h = None
+    for layer in range(cfg.num_layers_lstm):
+        pre = f"lstm{layer}_"
+        h = np.zeros(hid)
+        c = np.zeros(hid)
+        seq_out = np.zeros((l, hid))
+        for t in range(l):
+            gates = (
+                p[pre + "w_ih"] @ seq_in[t] + p[pre + "b_ih"]
+                + p[pre + "w_hh"] @ h + p[pre + "b_hh"]
+            )
+            i_g = 1.0 / (1.0 + np.exp(-gates[0:hid]))
+            f_g = 1.0 / (1.0 + np.exp(-gates[hid:2 * hid]))
+            g_g = np.tanh(gates[2 * hid:3 * hid])
+            o_g = 1.0 / (1.0 + np.exp(-gates[3 * hid:4 * hid]))
+            c = f_g * c + i_g * g_g
+            h = o_g * np.tanh(c)
+            seq_out[t] = h
+        seq_in = seq_out
+    return seq_in, h
+
+
 def naive_forward_example(
     p: Params, cfg: ModelConfig, ex: PreprocessedExample
 ) -> tuple[int, np.ndarray]:
@@ -151,6 +179,7 @@ def naive_forward_example(
     )
     obj_pos = np.asarray(ex.obj_positions)
     subj_pos = np.asarray(ex.subj_positions)
+    base = x.copy()  # LSTM paths consume the raw concat (no positionals)
 
     if cfg.diagonal_positional_attention:
         x = x + p["enc2_emb"][obj_pos + 10]
@@ -162,6 +191,13 @@ def naive_forward_example(
         dpa = None
 
     norm = _bn if cfg.use_batch_norm else _ln
+
+    if not cfg.self_att:
+        # K16 alternative path (ref:relation_model.py:439-458)
+        out, hidden = _naive_lstm(p, cfg, base)
+        value_seq = out
+        return _naive_classify(p, cfg, out, hidden, value_seq,
+                               subj_pos, obj_pos)
 
     out = x
     for layer in range(cfg.num_layers_encoder):
@@ -194,7 +230,17 @@ def naive_forward_example(
 
     hidden = out.max(axis=0)  # K15
 
-    # K17
+    if cfg.self_att_and_rnn:
+        value_seq, _ = _naive_lstm(p, cfg, base)  # lstm_layer=True mode
+    else:
+        value_seq = out
+    return _naive_classify(p, cfg, out, hidden, value_seq, subj_pos, obj_pos)
+
+
+def _naive_classify(p, cfg, attn_x, hidden, value_seq, subj_pos, obj_pos):
+    l = attn_x.shape[0]
+    # K17 (scores from attn_x, weighted sum over value_seq —
+    # ref:relation_model.py:236-240)
     f = np.concatenate(
         [p["pe_emb"][subj_pos + C.MAX_LEN], p["pe_emb"][obj_pos + C.MAX_LEN]],
         axis=1,
@@ -202,13 +248,13 @@ def naive_forward_example(
     scores = np.empty(l)
     for i in range(l):
         z = np.tanh(
-            p["u_w"] @ out[i] + p["u_b"]
+            p["u_w"] @ attn_x[i] + p["u_b"]
             + p["v_w"] @ hidden + p["v_b"]
             + p["w_w"] @ f[i] + p["w_b"]
         )
         scores[i] = p["t_w"][0] @ z + p["t_b"][0]
     w = _sm(scores)
-    final = w @ out
+    final = w @ value_seq
 
     logits = p["cls_w"] @ final + p["cls_b"]
     probs = _sm(logits)

@@ -97,6 +97,17 @@ def generate_weights(cfg: ModelConfig, vocab_size: int | None = None) -> Params:
         p[pre + "ffn_bn_mean"] = rng.normal(0.0, 0.1, (d,))
         p[pre + "ffn_bn_var"] = rng.uniform(0.5, 1.5, (d,))
 
+    # K16 LSTM encoder (alt path, ref:relation_model.py:298-304,439-458):
+    # 2 layers, hidden = d_model, torch gate order (i, f, g, o)
+    std_lstm = float(np.sqrt(1.0 / d))
+    for layer in range(cfg.num_layers_lstm):
+        pre = f"lstm{layer}_"
+        in_dim = d  # hidden_dim == input_size == 360 in the shipped config
+        p[pre + "w_ih"] = rng.normal(0.0, std_lstm, (4 * d, in_dim))
+        p[pre + "w_hh"] = rng.normal(0.0, std_lstm, (4 * d, d))
+        p[pre + "b_ih"] = rng.uniform(-0.05, 0.05, (4 * d,))
+        p[pre + "b_hh"] = rng.uniform(-0.05, 0.05, (4 * d,))
+
     # K17 position-aware attention (ref:relation_model.py:142-177,306-318)
     p["pe_emb"] = rng.uniform(-1.0, 1.0, (C.MAX_LEN * 2 + 1, cfg.pe_dim))
     linear("u", cfg.attn_dim, d, 0.05)

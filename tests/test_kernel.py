@@ -157,3 +157,45 @@ def test_variants_actually_differ():
         _, probs = oracle.naive_forward_example(generate_weights(cfg), cfg, e)
         outs.append(tuple(np.round(probs, 12)))
     assert len(set(outs)) == len(outs)
+
+
+@pytest.mark.parametrize(
+    "self_att,combined",
+    [(False, False), (True, True)],  # LSTM-only; self-att + LSTM values
+)
+def test_lstm_paths_parity(self_att, combined):
+    """K16: the LSTM encoder (self_att=False) and the combined
+    self_att_and_rnn mode, vectorized vs naive (ref:relation_model.py:
+    425-458)."""
+    cfg = ModelConfig(
+        vocab_size=500, self_att=self_att, self_att_and_rnn=combined
+    )
+    params = generate_weights(cfg)
+    rng = np.random.default_rng(13)
+    for l in (1, 4, 12):
+        examples = [_random_example(rng, l) for _ in range(3)]
+        words = np.array([e.word_ids for e in examples])
+        pos = np.array([e.pos_ids for e in examples])
+        ner = np.array([e.ner_ids for e in examples])
+        sp = np.array([e.subj_positions for e in examples])
+        op = np.array([e.obj_positions for e in examples])
+        preds, probs = kernel.forward_batch(params, cfg, words, pos, ner, sp, op)
+        for i, e in enumerate(examples):
+            pred_n, probs_n = oracle.naive_forward_example(params, cfg, e)
+            np.testing.assert_allclose(
+                probs[i], probs_n, rtol=1e-9, atol=1e-12,
+                err_msg=f"self_att={self_att} combined={combined} l={l}",
+            )
+            assert preds[i] == pred_n
+
+
+def test_lstm_differs_from_self_attention():
+    rng = np.random.default_rng(21)
+    e = _random_example(rng, 8)
+    cfg_sa = ModelConfig(vocab_size=500)
+    cfg_lstm = ModelConfig(vocab_size=500, self_att=False)
+    p_sa = generate_weights(cfg_sa)
+    p_lstm = generate_weights(cfg_lstm)
+    _, pr1 = oracle.naive_forward_example(p_sa, cfg_sa, e)
+    _, pr2 = oracle.naive_forward_example(p_lstm, cfg_lstm, e)
+    assert not np.allclose(pr1, pr2)
