@@ -76,3 +76,38 @@ def test_lower_tokens(spark):
     assert df.select(M.lower_tokens(F.col("t")).alias("l")).first()["l"] == [
         "ab", "cd", "ef"
     ]
+
+
+def test_lemma_normalization_spark_matches_python(spark):
+    from relation_extraction_transformer_spark.functions import lemmas as L
+
+    cases = [
+        "U.S.-based firm said profits rose 10K in 2008",
+        "he cant say thats why wasnt it so",
+        "score was 3-2 , e-mail: a.b@c.com !!",
+        "Im here and Hes there ; wed. is the day",
+        "costs $5m and 8pm meeting a/b/c/d test",
+        "what?! multiple.. dots... and 'quotes' ,comma",
+        ":#tagged and <markup> stuff&more x& y",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t: string")
+    got = [
+        r.n for r in df.select(
+            L.normalize_for_lemmas(F.col("t")).alias("n")
+        ).collect()
+    ]
+    want = [L.normalize_for_lemmas_py(c) for c in cases]
+    assert got == want
+
+
+def test_lemmatize_tokens_stub(spark):
+    from relation_extraction_transformer_spark.functions import lemmas as L
+
+    df = spark.createDataFrame(
+        [(["He", "cant", "say", "HELLO"],), (["U.S.-based", "firm"],)],
+        "tokens: array<string>",
+    )
+    rows = L.lemmatize_tokens(df).collect()
+    for r in rows:
+        assert len(r.lemmas) == len(r.tokens)  # count preserved or fallback
+        assert r.lemmatizer.startswith("stub-lower")
