@@ -123,7 +123,10 @@ def encoder_forward(
         residual = out  # encoder-layer input
         # (ref:model/transformer/Layers.py:50-53)
 
-        # K5: QKV projections, split to heads -> (H, B, l, dk)
+        # K5: QKV projections, split to heads -> (H, B, l, dk).
+        # (A fused single (360,1080) GEMM was measured SLOWER than three
+        # square GEMMs on OpenBLAS — 637 vs 734 cand/s/core — so the
+        # straightforward form stays.)
         def heads(m: np.ndarray) -> np.ndarray:
             return m.reshape(B, l, H, dk).transpose(2, 0, 1, 3)
 
