@@ -56,6 +56,12 @@ def make_spark(cores: int) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # the synthetic page files are tiny; the default 128m split packs
+        # them into exactly one task wave, so stragglers set the wall.
+        # 2m splits give multiple waves (what real 128MB-file inputs get
+        # naturally at scale)
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
