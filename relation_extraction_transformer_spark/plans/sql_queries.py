@@ -1517,3 +1517,27 @@ register(
         )
     )
 )
+
+
+register(
+    "price_quantiles",  # exact interpolated percentiles (stats surface)
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+)
