@@ -55,6 +55,16 @@ def completed_buckets(spark: SparkSession, out_path: str) -> set[int]:
         return set()
 
 
+def write_bucketed_pages(
+    pages: DataFrame, path: str, n_buckets: int = 16
+) -> None:
+    """Materialize pages partitioned by the resume bucket key (the
+    production layout: each resume group then prunes to its own files)."""
+    pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
 def materialize_triples_resumable(
     spark: SparkSession,
     pages: DataFrame,
@@ -67,9 +77,16 @@ def materialize_triples_resumable(
     done = completed_buckets(spark, out_path)
     pending = [b for b in range(n_buckets) if b not in done]
 
-    bucketed_pages = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-    )
+    if "bucket" in pages.columns:
+        # the input table is already partitioned by the bucket key (the
+        # production layout written by write_bucketed_pages): the per-group
+        # filter below becomes a PARTITION-PRUNING predicate — each group
+        # reads only its own files instead of rescanning the table
+        bucketed_pages = pages
+    else:
+        bucketed_pages = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        )
 
     rows_total = 0
     done_now: list[int] = []

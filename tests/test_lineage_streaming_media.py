@@ -139,3 +139,36 @@ def test_stateful_stream_dedup(spark, tmp_path):
     urls = [r.url for r in spark.read.parquet(out).collect()]
     assert len(urls) == len(set(urls)), "stream emitted a duplicate url"
     assert len(urls) == 40
+
+
+def test_bucketed_input_partition_pruning(spark, tmp_path):
+    """With a pre-bucketed pages table, each resume group's scan prunes to
+    its own partition directories instead of rescanning the table."""
+    src = str(tmp_path / "bucketed_pages")
+    out = str(tmp_path / "bucketed_out")
+    pages = PG.synthetic_pages(spark, 40, seed=5, partitions=4)
+    LIN.write_bucketed_pages(pages, src, n_buckets=8)
+
+    bucketed = spark.read.parquet(src)
+    one_group = bucketed.filter(F.col("bucket").isin([0, 1]))
+    plan = one_group._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must land in PartitionFilters (pruned at the
+    # source), not in the row-level DataFilters
+    assert "PartitionFilters:" in plan
+    partition_filters = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in partition_filters
+
+    r = LIN.materialize_triples_resumable(
+        spark, bucketed, out, run_id="b1", n_buckets=8, buckets_per_group=4
+    )
+    assert sorted(r.buckets_done) == list(range(8))
+    # same triples as the hash-on-the-fly path over the same pages
+    out2 = str(tmp_path / "unbucketed_out")
+    r2 = LIN.materialize_triples_resumable(
+        spark, pages, out2, run_id="b2", n_buckets=8, buckets_per_group=4
+    )
+    t1 = {tuple(x) for x in spark.read.parquet(f"{out}/triples")
+          .select("url", "sent_id", "pair_id", "pred").collect()}
+    t2 = {tuple(x) for x in spark.read.parquet(f"{out2}/triples")
+          .select("url", "sent_id", "pair_id", "pred").collect()}
+    assert t1 == t2 and r.rows_out == r2.rows_out
