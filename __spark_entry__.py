@@ -70,11 +70,29 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return edges.drop("source_urls")
 
     def media_features(spark, sf_dir):
+        from pyspark.sql import functions as F
+
         from relation_extraction_transformer_spark.operators import (
             multimodal as MM,
         )
 
-        return MM.extract_media_features(MM.synthetic_media(spark, 200))
+        feats = MM.extract_media_features(MM.synthetic_media(spark, 200))
+        # driver-contract shape: rows-only results must be sortable scalars
+        # (the canonicalizer lexsorts every column), so the feature vector
+        # is digested; the array-returning operator stays for pipeline use
+        return feats.select(
+            "media_id", "kind", "n_bytes", "sha1",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        "features",
+                        lambda x: F.round(x.cast("double"), 6).cast("string"),
+                    ),
+                )
+            ).alias("features_digest"),
+            "decoder",
+        )
 
     return {
         "kg_triples": kg_triples,

@@ -89,14 +89,28 @@ def predict_relations(
                 continue
             if not has_word_ids:
                 # P3: token -> id with UNK fallback against the broadcast
-                # vocab (ref:data/loader.py:287-289); dict lookups over the
-                # Arrow batch, not per-row UDF calls
-                get = vocab.get
+                # vocab (ref:data/loader.py:287-289).  Fully vectorized:
+                # factorize the exploded token column once, look the
+                # (few) distinct tokens up in the vocab, then gather —
+                # the Python dict is touched O(distinct) times per batch,
+                # not O(tokens)
+                lens = pdf["masked_tokens"].map(len).to_numpy()
+                flat = pdf["masked_tokens"].explode().dropna()
+                codes, uniques = pd.factorize(flat.to_numpy())
+                lut = np.fromiter(
+                    (vocab.get(u, C.UNK_ID) for u in uniques),
+                    dtype=np.int64,
+                    count=len(uniques),
+                )
+                flat_ids = (
+                    lut[codes]
+                    if len(codes)
+                    else np.empty(0, dtype=np.int64)
+                )
                 pdf = pdf.assign(
-                    word_ids=[
-                        [get(t, C.UNK_ID) for t in toks]
-                        for toks in pdf["masked_tokens"]
-                    ]
+                    word_ids=np.split(flat_ids, np.cumsum(lens)[:-1])
+                    if n
+                    else []
                 )
             preds = np.zeros(n, dtype=np.int32)
             top = np.zeros(n, dtype=np.float64)

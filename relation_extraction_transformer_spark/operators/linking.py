@@ -5,10 +5,13 @@ classification); mandated by the north rule.  Three deterministic steps:
 
 1. surface normalization (JVM string ops)
 2. candidate generation via broadcast join against an alias dictionary
-   (alias -> entity); aliases include the full name plus, for persons,
-   the family name, so one surface can yield several candidates
+   pre-aggregated to one row per alias (alias -> candidate array);
+   aliases include the full name plus, for persons, the family name,
+   so one surface can yield several candidates
 3. deterministic best-candidate scoring: exact-alias rank, then type
-   agreement, then lowest entity_id — a window row_number, no UDF.
+   agreement, then lowest entity_id — an ``array_min`` over structs
+   whose field order is the scoring order; no window, no UDF, and no
+   shuffle of the fact table.
 
 At web scale the alias dictionary outgrows a broadcast; the same plan
 shape then runs as a salted sort-merge join (AQE skew-join enabled), which
@@ -17,7 +20,7 @@ is why candidate generation is expressed as a plain equi-join here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import gazetteer as G
@@ -62,35 +65,46 @@ def link_surface(
     out_prefix: str,
 ) -> DataFrame:
     """Attach ``<out_prefix>_entity_id`` / ``<out_prefix>_canonical`` to df
-    by best-candidate linking of ``surface_col``."""
-    key_cols = [c for c in df.columns]
-    cands = (
-        df.withColumn("__surf", normalize_surface(F.col(surface_col)))
-        .join(
-            F.broadcast(dictionary),
-            F.col("__surf") == F.col("alias_norm"),
-            "left",
-        )
-        .withColumn(
-            "__type_match",
-            F.when(F.col("ner_type") == F.col(type_col), 0).otherwise(1),
-        )
+    by best-candidate linking of ``surface_col``.
+
+    Shuffle-free on the fact side: the alias dictionary is pre-aggregated
+    to one row per alias (candidates as an array), broadcast, joined 1:1,
+    and the best candidate is an ``array_min`` over structs whose field
+    order IS the scoring order (alias_rank, type_match, entity_id).  The
+    round-1 version windowed over every fact column — a full wide-key
+    shuffle at scale; this plan has zero Exchange on the fact table."""
+    dict_agg = dictionary.groupBy("alias_norm").agg(
+        F.collect_list(
+            F.struct("alias_rank", "ner_type", "entity_id", "canonical_name")
+        ).alias("__cands")
     )
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.asc("alias_rank"), F.asc("__type_match"), F.asc("entity_id")
+    joined = df.withColumn(
+        "__surf", normalize_surface(F.col(surface_col))
+    ).join(
+        F.broadcast(dict_agg),
+        F.col("__surf") == F.col("alias_norm"),
+        "left",
     )
-    best = (
-        cands.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            *key_cols,
-            F.col("entity_id").alias(f"{out_prefix}_entity_id"),
-            F.coalesce(F.col("canonical_name"), F.col(surface_col)).alias(
-                f"{out_prefix}_canonical"
+    best = F.array_min(
+        F.transform(
+            "__cands",
+            lambda c: F.struct(
+                c["alias_rank"].alias("r"),
+                F.when(c["ner_type"] == F.col(type_col), 0)
+                .otherwise(1)
+                .alias("tm"),
+                c["entity_id"].alias("eid"),
+                c["canonical_name"].alias("cname"),
             ),
         )
     )
-    return best
+    return joined.withColumn("__best", best).select(
+        *df.columns,
+        F.col("__best")["eid"].alias(f"{out_prefix}_entity_id"),
+        F.coalesce(F.col("__best")["cname"], F.col(surface_col)).alias(
+            f"{out_prefix}_canonical"
+        ),
+    )
 
 
 def link_triples(triples: DataFrame, dictionary: DataFrame) -> DataFrame:

@@ -79,6 +79,12 @@ def test_rows_only_queries_run(spark, name):
     df = entry.queries()[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    # emulate the driver's rows-only canonicalization: every column must be
+    # pandas-lexsortable (this is what broke media_features in round 1 —
+    # an array<float> column is unhashable for pandas sort_values)
+    pdf = df.limit(50).toPandas()
+    if len(pdf):
+        pdf.sort_values(by=list(pdf.columns))
 
 
 def test_entry_smoke(spark):
