@@ -21,57 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import minhash as MH
 
-def _char_shingles(col, n: int = 3):
-    s = F.concat(F.lit("^"), col, F.lit("$"))
-    return F.when(
-        F.length(s) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - n + 1),
-            lambda i: s.substr(i, F.lit(n)),
-        ),
-    ).otherwise(F.array(s))
+_char_shingles = MH.char_shingles  # shared LSH core (functions/minhash.py)
 
 
 def minhash_band_hashes(
-    df: DataFrame, text_col: str, k: int = 8, bands: int = 2
+    df: DataFrame, text_col: str, k: int = MH.MINHASH_K,
+    bands: int = MH.MINHASH_BANDS,
 ) -> DataFrame:
     """Append ``band`` / ``band_hash`` rows (one per band) for LSH blocking.
-    df must have a unique ``node_id`` column."""
-    rows_per_band = k // bands
-    sh = df.select(
-        "node_id", F.explode(_char_shingles(F.col(text_col))).alias("s")
-    )
-    sigs = sh.groupBy("node_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"sig{i}")
-            for i in range(k)
-        ]
-    )
-    stack_args = ", ".join(
-        f"{b}, md5(concat_ws('|', "
-        + ", ".join(f"sig{b * rows_per_band + r}" for r in range(rows_per_band))
-        + "))"
-        for b in range(bands)
-    )
-    return sigs.selectExpr(
-        "node_id", f"stack({bands}, {stack_args}) AS (band, band_hash)"
+    df must have a unique ``node_id`` column.  Delegates to the shared
+    minhash core so entity and document LSH parameters cannot diverge."""
+    return MH.minhash_bands(
+        df, "node_id", MH.char_shingles(F.col(text_col)), k=k, bands=bands
     )
 
 
 def candidate_pairs(bands_df: DataFrame) -> DataFrame:
     """Self-join on (band, band_hash): src < dst, distinct."""
-    a, b = bands_df.alias("a"), bands_df.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.node_id") < F.col("b.node_id")),
-        )
-        .select(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"))
-        .distinct()
-    )
+    return MH.band_candidate_pairs(bands_df, "node_id", "src", "dst")
 
 
 def verify_pairs_jaccard(

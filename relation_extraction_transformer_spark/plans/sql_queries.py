@@ -450,19 +450,13 @@ register(
 )
 
 
-_MINHASH_K = 8
-_MINHASH_BANDS = 2  # 2 bands x 4 rows
+from ..functions import minhash as MH
+
+_MINHASH_K = MH.MINHASH_K
+_MINHASH_BANDS = MH.MINHASH_BANDS  # 2 bands x 4 rows
 
 
-def _spark_shingles(col):
-    toks = F.split(col, " ")
-    return F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array(col))
+_spark_shingles = MH.word_shingles  # shared LSH core (functions/minhash.py)
 
 
 _DUCK_SHINGLES = (
@@ -495,27 +489,14 @@ def _duck_band(b: int) -> str:
 
 
 def _spark_minhash_bands(spark, sf):
-    # one pass over the shingles: explode once, all K min-hashes in a
-    # single partial-aggregating groupBy, then stack() to unpivot bands —
-    # no repeated shingle construction, no union double-scan
-    sh_rows = t(spark, sf, "documents").select(
-        "doc_id", F.explode(_spark_shingles(F.col("text"))).alias("s")
-    )
-    sigs = sh_rows.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"sig{k}")
-            for k in range(_MINHASH_K)
-        ]
-    )
-    band_cols = [
-        f"{b}, md5(concat_ws('|', sig{b*4}, sig{b*4+1}, sig{b*4+2}, sig{b*4+3}))"
-        for b in range(_MINHASH_BANDS)
-    ]
-    return sigs.selectExpr(
+    # shared LSH core: one explode, all K min-hashes in a single
+    # partial-aggregating groupBy, stack() unpivot to band rows
+    return MH.minhash_bands(
+        t(spark, sf, "documents"),
         "doc_id",
-        f"stack({_MINHASH_BANDS}, "
-        + ", ".join(band_cols)
-        + ") AS (band, band_hash)",
+        MH.word_shingles(F.col("text")),
+        k=_MINHASH_K,
+        bands=_MINHASH_BANDS,
     )
 
 
@@ -529,20 +510,8 @@ register(
 
 
 def _spark_minhash_pairs(spark, sf):
-    bands = _spark_minhash_bands(spark, sf)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    return MH.band_candidate_pairs(
+        _spark_minhash_bands(spark, sf), "doc_id", "doc_a", "doc_b"
     )
 
 
@@ -561,67 +530,68 @@ register(
 )(_spark_minhash_pairs)
 
 
+def _spark_ngram_jaccard(spark, sf):
+    # blocking is the LSH band join (shared with minhash_candidate_pairs):
+    # the pair count is LSH-bounded, never quadratic in a size bucket —
+    # round 1 keyed this on (lang, len//16), which is O(n^2) per bucket at
+    # web scale; this is the exact-verify stage over LSH candidates
+    pairs = _spark_minhash_pairs(spark, sf)
+    sh = t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("s")
+    )
+    j = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("inter_cnt", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("na", F.size("sa"))
+        .withColumn("nb", F.size("sb"))
+    )
+    return j.filter(
+        F.col("inter_cnt") * 10 >= (F.col("na") + F.col("nb") - F.col("inter_cnt"))
+    ).select(
+        "doc_a", "doc_b",
+        F.round(
+            F.col("inter_cnt").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter_cnt")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
 register(
-    "ngram_jaccard_buckets",  # n-gram Jaccard near-dup within cheap buckets
-    """
-    WITH sh AS (
-      SELECT doc_id, lang, len(string_split(text, ' ')) // 16 AS size_bucket,
-             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-               list_transform(range(1, len(string_split(text, ' ')) - 1),
-                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
-               ELSE [text] END) AS s
-      FROM documents
-    ),
+    "ngram_jaccard_buckets",  # n-gram Jaccard verify over LSH-band buckets
+    f"""
+    WITH bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_duck_band(b)} AS band_hash FROM documents"
+        for b in range(_MINHASH_BANDS)
+    )}),
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS s FROM documents
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
              len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter_cnt,
              len(a.s) AS na, len(b.s) AS nb
-      FROM sh a JOIN sh b
-        ON a.lang = b.lang AND a.size_bucket = b.size_bucket
-       AND a.doc_id < b.doc_id
+      FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+                   JOIN sh b ON b.doc_id = p.doc_b
     )
     SELECT doc_a, doc_b,
            ROUND(CAST(inter_cnt AS DOUBLE) / (na + nb - inter_cnt), 6) AS jaccard
-    FROM pairs WHERE inter_cnt * 10 >= (na + nb - inter_cnt)
+    FROM scored WHERE inter_cnt * 10 >= (na + nb - inter_cnt)
     """,
-)(
-    lambda spark, sf: (
-        lambda sh: sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(
-                F.array_intersect(F.col("a.s"), F.col("b.s"))
-            ).alias("inter_cnt"),
-            F.size(F.col("a.s")).alias("na"),
-            F.size(F.col("b.s")).alias("nb"),
-        )
-        .filter(
-            F.col("inter_cnt") * 10
-            >= (F.col("na") + F.col("nb") - F.col("inter_cnt"))
-        )
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.col("inter_cnt").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter_cnt")),
-                6,
-            ).alias("jaccard"),
-        )
-    )(
-        t(spark, sf, "documents").select(
-            "doc_id", "lang",
-            (F.size(F.split("text", " ")) / 16).cast("int").alias("size_bucket"),
-            F.array_distinct(_spark_shingles(F.col("text"))).alias("s"),
-        )
-    )
-)
+)(_spark_ngram_jaccard)
 
 
 def _spark_simhash(spark, sf):

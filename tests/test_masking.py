@@ -111,3 +111,25 @@ def test_lemmatize_tokens_stub(spark):
     for r in rows:
         assert len(r.lemmas) == len(r.tokens)  # count preserved or fallback
         assert r.lemmatizer.startswith("stub-lower")
+
+
+def test_lemmatize_count_guard_fires_on_pathological_input(spark):
+    """P11 token-count-preservation assert (ref:utils/extract_lemmas.py:122):
+    the rewrite chain splits 'a>b' into two tokens, so the guard must fall
+    back to the original tokens and flag the row."""
+    from relation_extraction_transformer_spark.functions import lemmas as L
+
+    assert L.normalize_for_lemmas_py("a>b") == "a b"  # chain changes count
+
+    df = spark.createDataFrame(
+        [(["a>b"],), (["plain", "words"],)], "tokens: array<string>"
+    )
+    rows = {tuple(r.tokens): r for r in L.lemmatize_tokens(df).collect()}
+
+    bad = rows[("a>b",)]
+    assert bad.lemmatizer.endswith("-fallback")
+    assert list(bad.lemmas) == ["a>b"]  # original tokens, count preserved
+
+    good = rows[("plain", "words")]
+    assert not good.lemmatizer.endswith("-fallback")
+    assert list(good.lemmas) == ["plain", "words"]
