@@ -36,9 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Non-SQL-expressible KG-pipeline operators (NumPy-in-Arrow inference,
-    iterative canonicalization): rows-only checks; their real correctness
-    gate is the NumPy-oracle parity suite in tests/."""
+    """KG-pipeline operators that stay rows-only (NumPy-in-Arrow inference
+    has no SQL form): their real correctness gate is the NumPy-oracle
+    parity suite in tests/.  The SQL-expressible KG stages (candidates,
+    nodes, edges, media_meta) are oracle-paired in plans/kg_sql.py."""
     from relation_extraction_transformer_spark.plans import pipeline as PL
     from relation_extraction_transformer_spark.sources import pages as PG
 
@@ -47,27 +48,6 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_triples(spark, sf_dir):
         return PL.triples_plan(_pages(spark), spark, keep_probs=False)
-
-    def kg_candidates(spark, sf_dir):
-        arts = PL.build_artifacts(spark)
-        return PL.candidates_plan(_pages(spark), arts).select(
-            "url", "sent_id", "pair_id", "subj_surface", "subj_type",
-            "obj_surface", "obj_type",
-        )
-
-    def kg_nodes(spark, sf_dir):
-        from relation_extraction_transformer_spark.plans import graph as GR
-
-        triples = PL.triples_plan(_pages(spark), spark, keep_probs=False)
-        nodes, _edges = GR.build_graph(triples, spark)
-        return nodes
-
-    def kg_edges(spark, sf_dir):
-        from relation_extraction_transformer_spark.plans import graph as GR
-
-        triples = PL.triples_plan(_pages(spark), spark, keep_probs=False)
-        _nodes, edges = GR.build_graph(triples, spark)
-        return edges.drop("source_urls")
 
     def media_features(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -96,9 +76,6 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "kg_triples": kg_triples,
-        "kg_candidates": kg_candidates,
-        "kg_nodes": kg_nodes,
-        "kg_edges": kg_edges,
         "media_features": media_features,
     }
 
@@ -109,11 +86,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
     from relation_extraction_transformer_spark.plans import sql_queries as Q
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: spec.spark for name, spec in Q.REGISTRY.items()
     }
+    out.update({name: spec.spark for name, spec in KQ.KG_REGISTRY.items()})
     out.update(_kg_queries())
     return out
 
@@ -125,10 +104,19 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
     from relation_extraction_transformer_spark.plans import sql_queries as Q
 
-    return {
+    out = {
         name: spec.oracle
         for name, spec in Q.REGISTRY.items()
         if spec.oracle is not None
     }
+    out.update(
+        {
+            name: spec.oracle
+            for name, spec in KQ.KG_REGISTRY.items()
+            if spec.oracle is not None
+        }
+    )
+    return out

@@ -32,10 +32,19 @@ def normalize_surface(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def stable_id(col):
+    """Cross-engine-stable 60-bit entity id: md5 hex chars [2..16] as a
+    BIGINT (always positive, fits signed 64-bit exactly).  DuckDB form:
+    ``CAST(('0x' || substr(md5(x), 2, 15)) AS BIGINT)`` — which is what
+    makes the linking -> canonicalization -> graph chain oracle-checkable
+    end to end (xxhash64 has no DuckDB equivalent)."""
+    return F.conv(F.substring(F.md5(col), 2, 15), 16, 10).cast("long")
+
+
 def entity_dictionary(spark: SparkSession) -> DataFrame:
     """alias -> (entity_id, canonical_name, ner_type, alias_rank).
 
-    entity ids are xxhash64 of 'type:canonical_name' — stable across runs
+    entity ids are stable_id of 'type:canonical_name' — stable across runs
     and cluster sizes, no sequence/driver state.
     alias_rank: 0 = canonical surface, 1 = partial alias (person family
     name), used by the scorer.
@@ -51,7 +60,7 @@ def entity_dictionary(spark: SparkSession) -> DataFrame:
     return df.select(
         normalize_surface(F.col("alias")).alias("alias_norm"),
         "canonical_name", "ner_type", "alias_rank",
-        F.xxhash64(F.concat_ws(":", "ner_type", "canonical_name")).alias(
+        stable_id(F.concat_ws(":", "ner_type", "canonical_name")).alias(
             "entity_id"
         ),
     )
@@ -110,15 +119,16 @@ def link_surface(
 def link_triples(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
     """triples (subj, pred, obj, ...) -> linked triples with entity ids.
 
-    Unlinkable surfaces keep a synthetic id (xxhash64 of the raw surface)
+    Unlinkable surfaces keep a synthetic id (stable_id of the normalized
+    surface)
     so downstream graph ops never see nulls.
     """
     linked = link_surface(triples, dictionary, "subj", "subj_type", "subj")
     linked = link_surface(linked, dictionary, "obj", "obj_type", "obj")
     return linked.withColumn(
         "subj_entity_id",
-        F.coalesce("subj_entity_id", F.xxhash64(normalize_surface(F.col("subj")))),
+        F.coalesce("subj_entity_id", stable_id(normalize_surface(F.col("subj")))),
     ).withColumn(
         "obj_entity_id",
-        F.coalesce("obj_entity_id", F.xxhash64(normalize_surface(F.col("obj")))),
+        F.coalesce("obj_entity_id", stable_id(normalize_surface(F.col("obj")))),
     )

@@ -30,27 +30,31 @@ FEATURE_SCHEMA = (
 )
 
 
+_KINDS = ("image", "audio", "video")
+
+
+def render_media(media_id: int, seed: int = 42) -> tuple:
+    """Deterministic media row for one id — shared by the distributed
+    Spark generator and the artifact freezer (single code path)."""
+    rng = np.random.default_rng((seed, int(media_id)))
+    kind = _KINDS[int(media_id) % 3]
+    payload = rng.integers(
+        0, 256, int(rng.integers(64, 4096)), dtype=np.uint8
+    ).tobytes()
+    return (
+        int(media_id), kind, payload, f"application/x-fake-{kind}",
+        int(rng.integers(16, 512)), int(rng.integers(16, 512)),
+        int(rng.integers(100, 60000)),
+    )
+
+
 def synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kinds = ["image", "audio", "video"]
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                rng = np.random.default_rng((seed, int(i)))
-                kind = kinds[int(i) % 3]
-                payload = rng.integers(0, 256, int(rng.integers(64, 4096)),
-                                       dtype=np.uint8).tobytes()
-                rows.append(
-                    (
-                        int(i), kind, payload, f"application/x-fake-{kind}",
-                        int(rng.integers(16, 512)), int(rng.integers(16, 512)),
-                        int(rng.integers(100, 60000)),
-                    )
-                )
             yield pd.DataFrame(
-                rows,
+                [render_media(int(i), seed) for i in pdf["id"]],
                 columns=[
                     "media_id", "kind", "payload", "mime", "width", "height",
                     "duration_ms",

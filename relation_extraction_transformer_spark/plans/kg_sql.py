@@ -1,0 +1,396 @@
+"""DuckDB oracle pairs for the KG-construction pipeline stages.
+
+Round 1 ran the kg_* queries rows-only ("no_oracle").  Everything except
+the transformer forward pass IS SQL-expressible, so this module pairs:
+
+- ``kg_candidates``: pages -> sentence split -> tokenize -> gazetteer
+  longest-match NER -> pair generation (plans/pipeline.py:71-86), both
+  sides reading the frozen ``artifacts/kg_pages.parquet``
+- ``kg_nodes`` / ``kg_edges``: frozen triples -> entity linking ->
+  minhash-LSH + trigram-Jaccard canonicalization -> connected components
+  (recursive CTE on the oracle side) -> node/edge aggregation, both sides
+  reading ``artifacts/kg_triples.parquet``
+- ``media_meta``: binary-payload metadata extraction over the frozen
+  ``artifacts/kg_media.parquet``
+
+``kg_triples`` itself stays rows-only: its forward pass is gated by the
+NumPy-oracle parity suite (tests/test_end_to_end.py), not by SQL.
+
+Cross-engine notes: entity ids use operators.linking.stable_id (md5-hex
+-> BIGINT, identical in both engines); the sentence split emulates
+Spark's lookbehind regex ``(?<=\\.)\\s+`` with a replace-then-split (RE2
+has no lookbehind); binary payloads hash via md5(upper(hex(payload)))
+because DuckDB's md5 only accepts VARCHAR.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import gazetteer as G
+from .sql_queries import QuerySpec
+
+_REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+ARTIFACTS = os.path.join(_REPO, "artifacts")
+PAGES_PARQUET = os.path.join(ARTIFACTS, "kg_pages.parquet")
+TRIPLES_PARQUET = os.path.join(ARTIFACTS, "kg_triples.parquet")
+MEDIA_PARQUET = os.path.join(ARTIFACTS, "kg_media.parquet")
+
+KG_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _gazetteer_values() -> str:
+    return ", ".join(
+        f"({_sql_quote(p)}, {_sql_quote(t)})"
+        for p, t in sorted(G.build_gazetteer().items())
+    )
+
+
+def _dictionary_values() -> str:
+    """Mirror of operators.linking.entity_dictionary's row construction."""
+    rows = []
+    for phrase, typ in sorted(G.build_gazetteer().items()):
+        rows.append((phrase, phrase, typ, 0))
+        if typ == "PERSON" and " " in phrase:
+            rows.append((phrase.split(" ")[-1], phrase, typ, 1))
+    return ", ".join(
+        f"({_sql_quote(a)}, {_sql_quote(c)}, {_sql_quote(t)}, {r})"
+        for a, c, t, r in rows
+    )
+
+
+# DuckDB fragment builders -------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace({x}, '\\s+', ' ', 'g')))"
+
+_STABLE_ID = "CAST(('0x' || substr(md5({x}), 2, 15)) AS BIGINT)"
+
+
+def _norm(x: str) -> str:
+    return _NORM.format(x=x)
+
+
+def _sid(x: str) -> str:
+    return _STABLE_ID.format(x=x)
+
+
+def _char_shingle_bands_sql(names_cte: str) -> str:
+    """names_cte must expose (node_id, nname).  Emits CTEs:
+    marked -> csigs -> cbands (node_id, band, band_hash), the DuckDB twin
+    of functions/minhash.py over char 3-gram shingles (k=8, 2 bands)."""
+    sigs = ", ".join(
+        "list_aggregate(list_transform(sh, s -> md5(concat('"
+        + f"{i}:', s))), 'min') AS sig{i}"
+        for i in range(8)
+    )
+    return f"""
+    marked AS (
+      SELECT node_id, '^' || nname || '$' AS mk FROM {names_cte}
+    ),
+    shing AS (
+      SELECT node_id,
+             CASE WHEN len(mk) >= 3
+                  THEN list_transform(range(1, len(mk) - 1),
+                                      i -> substr(mk, CAST(i AS INT), 3))
+                  ELSE [mk] END AS sh
+      FROM marked
+    ),
+    csigs AS (
+      SELECT node_id, {sigs} FROM shing
+    ),
+    cbands AS (
+      SELECT node_id, 0 AS band,
+             md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS band_hash
+      FROM csigs
+      UNION ALL
+      SELECT node_id, 1 AS band,
+             md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS band_hash
+      FROM csigs
+    )"""
+
+
+# kg_candidates -------------------------------------------------------------
+
+
+def _kg_candidates_oracle() -> str:
+    return rf"""
+    WITH pages AS (
+      SELECT url, decode(html) AS page_html, lang
+      FROM read_parquet('{PAGES_PARQUET}')
+    ),
+    sents AS (
+      SELECT url,
+             string_split(
+               regexp_replace(regexp_extract(page_html, '<p>(.*)</p>', 1),
+                              '\.\s+', '.' || chr(1), 'g'),
+               chr(1)) AS arr
+      FROM pages WHERE lang = 'en'
+    ),
+    sent AS (
+      SELECT url, unnest(range(len(arr))) AS sent_id,
+             unnest(arr) AS sentence
+      FROM sents
+    ),
+    tok AS (
+      SELECT url, sent_id, string_split(sentence, ' ') AS toks
+      FROM sent
+      WHERE len(sentence) > 0
+        AND len(string_split(sentence, ' ')) BETWEEN 1 AND 96
+    ),
+    grams AS (
+      SELECT url, sent_id,
+             unnest(starts) AS m_start, unnest(ends) AS m_end,
+             unnest(surfs) AS surface
+      FROM (
+        SELECT url, sent_id,
+          list_concat(range(len(toks)),
+            CASE WHEN len(toks) >= 2 THEN range(len(toks) - 1)
+                 ELSE []::BIGINT[] END) AS starts,
+          list_concat(range(len(toks)),
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(len(toks) - 1), i -> i + 1)
+                 ELSE []::BIGINT[] END) AS ends,
+          list_concat(
+            list_transform(range(len(toks)), i -> toks[i + 1]),
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(len(toks) - 1),
+                                     i -> toks[i + 1] || ' ' || toks[i + 2])
+                 ELSE []::VARCHAR[] END) AS surfs
+        FROM tok
+      )
+    ),
+    gaz(phrase, ner_type) AS (VALUES {_gazetteer_values()}),
+    hits AS (
+      SELECT g.url, g.sent_id, g.m_start, g.m_end, g.surface, z.ner_type
+      FROM grams g JOIN gaz z ON g.surface = z.phrase
+    ),
+    kept AS (
+      SELECT * FROM hits h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hits o
+        WHERE o.url = h.url AND o.sent_id = h.sent_id
+          AND o.m_start <= h.m_start AND o.m_end >= h.m_end
+          AND (o.m_end - o.m_start) > (h.m_end - h.m_start)
+      )
+    ),
+    pairs AS (
+      SELECT s.url, s.sent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.url, s.sent_id
+               ORDER BY s.m_start, s.m_end, o.m_start, o.m_end) - 1 AS pair_id,
+             s.surface AS subj_surface, s.ner_type AS subj_type,
+             o.surface AS obj_surface, o.ner_type AS obj_type
+      FROM kept s JOIN kept o
+        ON o.url = s.url AND o.sent_id = s.sent_id
+       AND (o.m_start <> s.m_start OR o.m_end <> s.m_end)
+      WHERE s.ner_type IN ('PERSON', 'ORGANIZATION')
+    )
+    SELECT url, CAST(sent_id AS INT) AS sent_id,
+           CAST(pair_id AS INT) AS pair_id,
+           subj_surface, subj_type, obj_surface, obj_type
+    FROM pairs WHERE pair_id < 12
+    """
+
+
+def _kg_candidates_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import pipeline as PL
+
+    pages = spark.read.parquet(PAGES_PARQUET)
+    arts = PL.build_artifacts(spark)
+    return PL.candidates_plan(pages, arts).select(
+        "url", "sent_id", "pair_id", "subj_surface", "subj_type",
+        "obj_surface", "obj_type",
+    )
+
+
+KG_REGISTRY["kg_candidates"] = QuerySpec(
+    spark=_kg_candidates_spark, oracle=_kg_candidates_oracle()
+)
+
+
+# kg_nodes / kg_edges -------------------------------------------------------
+
+
+def _graph_common_sql(jaccard_threshold: float = 0.6) -> str:
+    """CTE chain from the frozen triples parquet to canon_map/linked —
+    the DuckDB twin of operators/linking.py + operators/canonicalize.py +
+    plans/graph.py:24-69 (connected components as a recursive CTE)."""
+    return f"""
+    WITH RECURSIVE tri AS (
+      SELECT * FROM read_parquet('{TRIPLES_PARQUET}')
+    ),
+    dict0(alias, canonical_name, ner_type, alias_rank) AS (
+      VALUES {_dictionary_values()}
+    ),
+    dict AS (
+      SELECT {_norm(x='alias')} AS alias_norm, canonical_name, ner_type,
+             alias_rank,
+             {_sid(x="ner_type || ':' || canonical_name")} AS entity_id
+      FROM dict0
+    ),
+    sbest AS (
+      SELECT url, sent_id, pair_id, entity_id, canonical_name FROM (
+        SELECT t.url, t.sent_id, t.pair_id, d.entity_id, d.canonical_name,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.url, t.sent_id, t.pair_id
+                 ORDER BY d.alias_rank,
+                          CASE WHEN d.ner_type = t.subj_type THEN 0 ELSE 1 END,
+                          d.entity_id) AS rn
+        FROM tri t LEFT JOIN dict d ON {_norm(x='t.subj')} = d.alias_norm
+      ) WHERE rn = 1
+    ),
+    obest AS (
+      SELECT url, sent_id, pair_id, entity_id, canonical_name FROM (
+        SELECT t.url, t.sent_id, t.pair_id, d.entity_id, d.canonical_name,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.url, t.sent_id, t.pair_id
+                 ORDER BY d.alias_rank,
+                          CASE WHEN d.ner_type = t.obj_type THEN 0 ELSE 1 END,
+                          d.entity_id) AS rn
+        FROM tri t LEFT JOIN dict d ON {_norm(x='t.obj')} = d.alias_norm
+      ) WHERE rn = 1
+    ),
+    linked AS (
+      SELECT t.url, t.sent_id, t.pair_id, t.pred, t.prob,
+             COALESCE(s.entity_id, {_sid(x=_norm(x='t.subj'))})
+               AS subj_entity_id,
+             COALESCE(s.canonical_name, t.subj) AS subj_canonical,
+             COALESCE(o.entity_id, {_sid(x=_norm(x='t.obj'))})
+               AS obj_entity_id,
+             COALESCE(o.canonical_name, t.obj) AS obj_canonical
+      FROM tri t
+      JOIN sbest s ON s.url = t.url AND s.sent_id = t.sent_id
+                  AND s.pair_id = t.pair_id
+      JOIN obest o ON o.url = t.url AND o.sent_id = t.sent_id
+                  AND o.pair_id = t.pair_id
+    ),
+    ends AS (
+      SELECT subj_entity_id AS node_id, subj_canonical AS name FROM linked
+      UNION ALL
+      SELECT obj_entity_id AS node_id, obj_canonical AS name FROM linked
+    ),
+    raw_nodes AS (
+      SELECT node_id, min(name) AS name, count(*) AS mention_count
+      FROM ends GROUP BY node_id
+    ),
+    names AS (
+      SELECT node_id, {_norm(x='name')} AS nname FROM raw_nodes
+    ),
+    {_char_shingle_bands_sql('names')},
+    cand AS (
+      SELECT DISTINCT a.node_id AS src, b.node_id AS dst
+      FROM cbands a JOIN cbands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.node_id < b.node_id
+    ),
+    dsh AS (
+      SELECT node_id, list_distinct(sh) AS s FROM shing
+    ),
+    verified AS (
+      SELECT src, dst FROM (
+        SELECT c.src, c.dst,
+               len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter_cnt,
+               len(a.s) AS na, len(b.s) AS nb
+        FROM cand c JOIN dsh a ON a.node_id = c.src
+                    JOIN dsh b ON b.node_id = c.dst
+      )
+      WHERE CAST(inter_cnt AS DOUBLE) / (na + nb - inter_cnt)
+            >= {jaccard_threshold}
+    ),
+    sym AS (
+      SELECT src, dst FROM verified
+      UNION
+      SELECT dst AS src, src AS dst FROM verified
+    ),
+    reach(node_id, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node_id
+    ),
+    comps AS (
+      SELECT node_id, min(lbl) AS component FROM reach GROUP BY node_id
+    ),
+    canon_map AS (
+      SELECT r.node_id, COALESCE(c.component, r.node_id) AS canonical_id,
+             r.name, r.mention_count
+      FROM raw_nodes r LEFT JOIN comps c ON c.node_id = r.node_id
+    )"""
+
+
+KG_REGISTRY["kg_nodes"] = QuerySpec(
+    spark=None,  # filled below
+    oracle=_graph_common_sql()
+    + """
+    SELECT canonical_id, min_by(name, node_id) AS name,
+           CAST(SUM(mention_count) AS BIGINT) AS mention_count,
+           count(*) AS merged_surface_forms
+    FROM canon_map GROUP BY canonical_id
+    """,
+)
+
+KG_REGISTRY["kg_edges"] = QuerySpec(
+    spark=None,  # filled below
+    oracle=_graph_common_sql()
+    + """
+    SELECT cs.canonical_id AS src, l.pred, co.canonical_id AS dst,
+           count(*) AS weight, max(l.prob) AS max_prob
+    FROM linked l
+    JOIN canon_map cs ON cs.node_id = l.subj_entity_id
+    JOIN canon_map co ON co.node_id = l.obj_entity_id
+    GROUP BY cs.canonical_id, l.pred, co.canonical_id
+    """,
+)
+
+
+def _frozen_triples(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(TRIPLES_PARQUET)
+
+
+def _kg_nodes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import graph as GR
+
+    nodes, _edges = GR.build_graph(_frozen_triples(spark), spark)
+    return nodes
+
+
+def _kg_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import graph as GR
+
+    _nodes, edges = GR.build_graph(_frozen_triples(spark), spark)
+    return edges.drop("source_urls")
+
+
+KG_REGISTRY["kg_nodes"].spark = _kg_nodes_spark
+KG_REGISTRY["kg_edges"].spark = _kg_edges_spark
+
+
+# media_meta ----------------------------------------------------------------
+
+
+def _media_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = spark.read.parquet(MEDIA_PARQUET)
+    return m.select(
+        "media_id", "kind", "mime", "width", "height", "duration_ms",
+        F.length("payload").alias("n_bytes"),
+        F.md5(F.upper(F.hex(F.col("payload")))).alias("payload_md5"),
+    )
+
+
+KG_REGISTRY["media_meta"] = QuerySpec(
+    spark=_media_meta_spark,
+    oracle=f"""
+    SELECT media_id, kind, mime, width, height, duration_ms,
+           CAST(octet_length(payload) AS INT) AS n_bytes,
+           md5(upper(hex(payload))) AS payload_md5
+    FROM read_parquet('{MEDIA_PARQUET}')
+    """,
+)
