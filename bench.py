@@ -117,6 +117,51 @@ def _kg_run_subprocess() -> None:
     print(f"KGRUN {best:.3f} {n}")
 
 
+def run_skew_bench(spark: SparkSession) -> dict:
+    """Skew regression for functions/skew.py:salted_repartition.
+
+    The page corpus is Pareto-skewed by host (host0 ~ 38% of rows,
+    sources/pages.py:54).  Keying the pre-inference repartition on host —
+    what a per-host downstream consumer would do — sends the hot host to
+    ONE task; salting fans it over n_salts tasks.  Both variants run the
+    identical scan -> ... -> inference job; only the repartition differs,
+    so the delta is pure straggler elimination."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_transformer_spark.functions import skew as SKEW
+    from relation_extraction_transformer_spark.plans import pipeline as PL
+
+    pages = spark.read.parquet(PAGES_PATH).withColumn(
+        "host", SKEW.host_of(F.col("url"))
+    )
+    plain = pages.repartition(CPUS, F.col("host")).drop("host")
+    salted = SKEW.salted_repartition(pages, ["host"], CPUS, n_salts=8).drop(
+        "host"
+    )
+
+    def part_max(df) -> int:
+        rows = [r.rows for r in SKEW.partition_size_stats(df).collect()]
+        return max(rows) if rows else 0
+
+    def run(df) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = PL.triples_plan(df, spark, keep_probs=False).count()
+        return time.perf_counter() - t0, n
+
+    run(plain)  # warm
+    plain_sec = min(run(plain)[0] for _ in range(2))
+    salted_sec, n_triples = run(salted)
+    salted_sec = min(salted_sec, run(salted)[0])
+    return {
+        "triples": n_triples,
+        "plain_repartition_sec": round(plain_sec, 3),
+        "salted_repartition_sec": round(salted_sec, 3),
+        "speedup": round(plain_sec / salted_sec, 2),
+        "max_partition_rows_plain": part_max(plain),
+        "max_partition_rows_salted": part_max(salted),
+    }
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_KG_RUN"):
         _kg_run_subprocess()
@@ -141,8 +186,13 @@ def main() -> None:
     gen_sec = ensure_pages(spark, N_PAGES)
     run_kg_pipeline(spark)  # warm python workers/JIT once
     kg_sec, n_triples = run_kg_pipeline(spark)
+    kg_sec = min(kg_sec, run_kg_pipeline(spark)[0])  # best-of-2: local-mode
+    # wall variance on a shared host is ~±30%; min is the honest capacity
+    # figure (same protocol as the scaling subprocess runs)
     timings["kg_triples"] = round(kg_sec, 3)
     triples_per_sec = round(n_triples / kg_sec, 1)
+
+    skew = run_skew_bench(spark)
 
     result = {
         "metric": "headline_total",
@@ -155,6 +205,7 @@ def main() -> None:
         "kg_triples": n_triples,
         "triples_per_sec": triples_per_sec,
         "pages_gen_sec": round(gen_sec, 3),
+        "skew": skew,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING"):

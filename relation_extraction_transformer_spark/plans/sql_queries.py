@@ -596,26 +596,35 @@ register(
 
 def _spark_simhash(spark, sf):
     # use the first 15 hex chars (60 bits, fits signed BIGINT exactly in
-    # both engines), test each of the low 16 bits
-    tok_bits = (
+    # both engines), test each of the low 16 bits.  ONE partial-aggregating
+    # groupBy with 16 conditional sums — round 1 crossJoined a 16-row bit
+    # table (16x the shuffle rows) and aggregated twice; this is the same
+    # result with a single map-side-combinable shuffle
+    tok_hash = (
         t(spark, sf, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .withColumn(
             "h", F.conv(F.substring(F.md5("tok"), 2, 15), 16, 10).cast("long")
         )
-        .crossJoin(spark.range(16).select(F.col("id").cast("int").alias("bit")))
-        .groupBy("doc_id", "bit")
-        .agg(
+    )
+    sums = tok_hash.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
-            ).alias("score")
+                F.expr(f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END")
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return tok_bits.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN score > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END")
-        ).cast("long").alias("simhash")
-    )
+        for b in range(16)
+    ]
+    acc = bit_terms[0]
+    for term in bit_terms[1:]:
+        acc = acc + term
+    return sums.select("doc_id", acc.cast("long").alias("simhash"))
 
 
 register(
