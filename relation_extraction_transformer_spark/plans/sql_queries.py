@@ -1520,3 +1520,225 @@ register(
         F.max("l_extendedprice").alias("max_price"),
     )
 )
+
+
+# ===========================================================================
+# §6 Round-2 additions: BPE-ish token counting, winnowing fingerprints,
+# IVF similarity search
+# ===========================================================================
+
+# BPE-style pre-tokenizer (GPT-2-shaped, minus the RE2-unsupported
+# lookahead): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs.  Same regex text runs in Java regex and RE2.
+_BPE_PAT = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+_WORD_PAT = r" ?[A-Za-z]+"
+_NUM_PAT = r" ?[0-9]+"
+
+
+def _duck_count(pat: str) -> str:
+    escaped = pat.replace("'", "''")
+    return f"len(regexp_extract_all(text, '{escaped}'))"
+
+
+register(
+    "bpe_token_stats",  # BPE-ish regex token counting (LLM-pipeline op)
+    f"""
+    SELECT doc_id,
+           {_duck_count(_BPE_PAT)} AS n_bpe_tokens,
+           {_duck_count(_WORD_PAT)} AS n_word_pieces,
+           {_duck_count(_NUM_PAT)} AS n_number_pieces,
+           ROUND(CAST(length(text) AS DOUBLE) /
+                 GREATEST({_duck_count(_BPE_PAT)}, 1), 6) AS chars_per_token
+    FROM documents
+    """,
+)(
+    lambda spark, sf: t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_WORD_PAT), F.lit(0))).alias(
+            "n_word_pieces"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_PAT), F.lit(0))).alias(
+            "n_number_pieces"
+        ),
+        F.round(
+            F.length("text").cast("double")
+            / F.greatest(
+                F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))),
+                F.lit(1),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )
+)
+
+
+# Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): hash
+# every char k-gram, then keep the minimum hash of every length-w window
+# of consecutive k-gram hashes; the distinct minima are the fingerprints.
+# Guarantees: any shared substring of length >= k + w - 1 produces at
+# least one shared fingerprint — the standard plagiarism/near-dup sketch.
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+_STABLE_HASH_DUCK = "CAST(('0x' || substr(md5({x}), 2, 15)) AS BIGINT)"
+
+
+def _stable_hash_spark(col):
+    return F.conv(F.substring(F.md5(col), 2, 15), 16, 10).cast("long")
+
+
+def _spark_winnow(spark, sf):
+    text = F.col("text")
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), F.length(text) - _WINNOW_K + 1),
+        lambda i: _stable_hash_spark(text.substr(i, F.lit(_WINNOW_K))),
+    )
+    df = (
+        t(spark, sf, "documents")
+        .filter(F.length("text") >= _WINNOW_K)
+        .select("doc_id", kgram_hashes.alias("H"))
+    )
+    fps = F.when(
+        F.size("H") >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(0), F.size("H") - _WINNOW_W),
+            lambda i: F.array_min(F.slice("H", i + 1, _WINNOW_W)),
+        ),
+    ).otherwise(F.array(F.array_min("H")))
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(fps)).alias("fingerprint"))
+        .distinct()
+    )
+
+
+register(
+    "winnowing_fingerprints",  # rolling-hash document fingerprinting
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, length(text) - {_WINNOW_K} + 2),
+               i -> {_STABLE_HASH_DUCK.format(
+                 x=f"substr(text, CAST(i AS INT), {_WINNOW_K})")}) AS H
+      FROM documents WHERE length(text) >= {_WINNOW_K}
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(H) >= {_WINNOW_W}
+                  THEN list_transform(
+                    range(len(H) - {_WINNOW_W} + 1),
+                    i -> list_aggregate(H[i+1:i+{_WINNOW_W}], 'min'))
+                  ELSE [list_aggregate(H, 'min')] END AS fps
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM (SELECT doc_id, unnest(fps) AS fingerprint FROM w)
+    """,
+)(_spark_winnow)
+
+
+# IVF similarity search: coarse-quantize candidates into _IVF_CELLS
+# centroid cells (centroids = the first _IVF_CELLS vectors — deterministic
+# stand-in for a trained k-means codebook), probe the _IVF_NPROBE nearest
+# cells per query, exact top-k inside the probed cells only.  The scale
+# shape of FAISS-style IVF: the expensive exact scoring touches
+# ~nprobe/cells of the corpus instead of all of it.
+_IVF_CELLS = 4
+_IVF_NPROBE = 2
+
+
+def _spark_cos(a, b):
+    dot = _spark_int_dot(F.col(a), F.col(b))
+    na = _spark_int_dot(F.col(a), F.col(a))
+    nb = _spark_int_dot(F.col(b), F.col(b))
+    return F.when(
+        (na > 0) & (nb > 0),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            9,
+        ),
+    )
+
+
+def _spark_ann_ivf(spark, sf):
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", _spark_quantize(F.col("embedding")).alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cell", _spark_cos("v", "cv").alias("csim")
+    ).filter(F.col("csim").isNotNull())  # zero-norm guard, mirrors oracle
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    ranked = sims.withColumn("crank", F.row_number().over(w))
+    assign = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv2"), "cell"
+    )
+    probes = ranked.filter(
+        (F.col("crank") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES)
+    ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell")
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", _spark_cos("qv", "cv2").alias("sim"))
+        .filter(F.col("sim").isNotNull())
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", "cid", "rank")
+    )
+
+
+_DUCK_COS = (
+    "ROUND(CAST(CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i])) AS BIGINT) AS DOUBLE) / "
+    "(sqrt(CAST(CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT) AS DOUBLE)) * "
+    "sqrt(CAST(CAST(list_sum(list_transform({b}, x -> x * x)) AS BIGINT) AS DOUBLE))), 9)"
+)
+
+register(
+    "ann_ivf_topk",  # IVF coarse-quantized ANN (FAISS-shape scale path)
+    f"""
+    WITH e AS (SELECT vec_id, {_DUCK_QUANT} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+    sims AS (
+      SELECT e.vec_id, e.v, cent.cell,
+             {_DUCK_COS.format(a="e.v", b="cent.cv")} AS csim
+      FROM e, cent
+      WHERE CAST(list_sum(list_transform(e.v, x -> x * x)) AS BIGINT) > 0
+        AND CAST(list_sum(list_transform(cent.cv, x -> x * x)) AS BIGINT) > 0
+    ),
+    ranked AS (
+      SELECT vec_id, v, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, cell) AS crank
+      FROM sims
+    ),
+    assign AS (
+      SELECT vec_id AS cid, v AS cv2, cell FROM ranked WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, v AS qv, cell FROM ranked
+      WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.qid, a.cid, {_DUCK_COS.format(a="p.qv", b="a.cv2")} AS sim
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE p.qid <> a.cid
+        AND CAST(list_sum(list_transform(p.qv, x -> x * x)) AS BIGINT) > 0
+        AND CAST(list_sum(list_transform(a.cv2, x -> x * x)) AS BIGINT) > 0
+    )
+    SELECT qid, cid, rank FROM (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+)(_spark_ann_ivf)
