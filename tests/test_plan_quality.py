@@ -1,0 +1,82 @@
+"""Plan-quality regression guards (SURVEY §4 / 100 TB discipline).
+
+These assert the *shape* of the physical plans — the properties that keep
+the pipeline viable at 1000-executor scale — so a future refactor cannot
+silently reintroduce a wide-key shuffle, a per-row Python UDF, or an
+unpruned scan.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+PAGES = "/root/repo/artifacts/kg_pages.parquet"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_triples_plan_is_shuffle_free_and_pruned(spark):
+    """scan -> triples: zero Exchange, lang filter pushed to parquet,
+    ReadSchema pruned to url/html/lang (text/warc_ts never read)."""
+    from relation_extraction_transformer_spark.plans import pipeline as PL
+
+    pages = spark.read.parquet(PAGES)
+    triples = PL.triples_plan(pages, spark, keep_probs=False)
+    plan = _plan(triples)
+    assert "Exchange" not in plan, "candidate pipeline must stay narrow"
+    assert plan.count("MapInPandas") == 1, "exactly one Arrow UDF (inference)"
+    assert "BatchEvalPython" not in plan, "no per-row Python anywhere"
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "text" not in scan[0].split("ReadSchema")[1].replace(
+        "extracted_text", ""
+    ), f"scan must not read the text column: {scan}"
+    assert "EqualTo(lang,en)" in plan or "lang" in plan.split("PushedFilters")[1].split("]")[0], (
+        "lang predicate must reach the parquet scan"
+    )
+
+
+def test_linking_has_no_window_and_no_fact_side_exchange(spark):
+    """Entity linking: best-candidate selection is an array argmin over a
+    broadcast dictionary — no Window operator, no Exchange keyed on fact
+    columns (the only Exchanges aggregate the tiny dictionary)."""
+    from relation_extraction_transformer_spark.operators import linking as L
+
+    triples = spark.read.parquet(
+        "/root/repo/artifacts/kg_triples.parquet"
+    )
+    linked = L.link_triples(triples, L.entity_dictionary(spark))
+    plan = _plan(linked)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the fact side must never shuffle: every shuffle Exchange in this plan
+    # keys on the dictionary aggregation (alias_norm), never on triple
+    # columns; BroadcastExchange (shipping the tiny dictionary) is fine
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "alias_norm" in line, (
+                f"unexpected fact-side exchange: {line.strip()}"
+            )
+
+
+def test_near_dup_queries_block_on_lsh_bands(spark):
+    """minhash_candidate_pairs and ngram_jaccard_buckets must join on
+    (band, band_hash) — never an all-pairs or size-bucket join."""
+    import __spark_entry__ as entry
+
+    for name in ("minhash_candidate_pairs", "ngram_jaccard_buckets"):
+        df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "band_hash" in plan, f"{name} must block on LSH bands"
+        assert "CartesianProduct" not in plan, f"{name} must not cross-join"
+
+
+def test_inference_input_scan_prunes_probs(spark):
+    """keep_probs=False must not materialize the 42-float probs array."""
+    from relation_extraction_transformer_spark.plans import pipeline as PL
+
+    pages = spark.read.parquet(PAGES)
+    t = PL.triples_plan(pages, spark, keep_probs=False)
+    assert "probs" not in t.columns
