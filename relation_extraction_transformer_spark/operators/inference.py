@@ -46,6 +46,23 @@ def as_dtype(params: dict, dtype) -> dict:
     }
 
 
+def tokens_to_word_ids(tokens: pd.Series, vocab: dict) -> list:
+    """P3 vectorized: token -> id with UNK fallback.  Factorizes the
+    exploded token column once; the Python dict is touched O(distinct)
+    times, not O(tokens).  Returns a list of np.int64 arrays aligned with
+    ``tokens`` (ref:data/loader.py:287-289)."""
+    lens = tokens.map(len).to_numpy()
+    flat = tokens.explode().dropna()
+    codes, uniques = pd.factorize(flat.to_numpy())
+    lut = np.fromiter(
+        (vocab.get(u, C.UNK_ID) for u in uniques),
+        dtype=np.int64,
+        count=len(uniques),
+    )
+    flat_ids = lut[codes] if len(codes) else np.empty(0, dtype=np.int64)
+    return np.split(flat_ids, np.cumsum(lens)[:-1]) if len(tokens) else []
+
+
 def predict_relations(
     candidates: DataFrame,
     params_bc: Broadcast,
@@ -88,29 +105,8 @@ def predict_relations(
             if n == 0:
                 continue
             if not has_word_ids:
-                # P3: token -> id with UNK fallback against the broadcast
-                # vocab (ref:data/loader.py:287-289).  Fully vectorized:
-                # factorize the exploded token column once, look the
-                # (few) distinct tokens up in the vocab, then gather —
-                # the Python dict is touched O(distinct) times per batch,
-                # not O(tokens)
-                lens = pdf["masked_tokens"].map(len).to_numpy()
-                flat = pdf["masked_tokens"].explode().dropna()
-                codes, uniques = pd.factorize(flat.to_numpy())
-                lut = np.fromiter(
-                    (vocab.get(u, C.UNK_ID) for u in uniques),
-                    dtype=np.int64,
-                    count=len(uniques),
-                )
-                flat_ids = (
-                    lut[codes]
-                    if len(codes)
-                    else np.empty(0, dtype=np.int64)
-                )
                 pdf = pdf.assign(
-                    word_ids=np.split(flat_ids, np.cumsum(lens)[:-1])
-                    if n
-                    else []
+                    word_ids=tokens_to_word_ids(pdf["masked_tokens"], vocab)
                 )
             preds = np.zeros(n, dtype=np.int32)
             top = np.zeros(n, dtype=np.float64)

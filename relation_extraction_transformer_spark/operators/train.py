@@ -1,0 +1,188 @@
+"""Distributed training step: synchronous data-parallel gradients.
+
+The Spark-native form of the reference's ``update()`` loop
+(ref:model/relation_model.py:51-79 driving ref:runner.py:259-357): each
+partition computes the gradient of the UN-normalized weighted-CE sum over
+its rows inside ONE Arrow UDF pass (same-length grouping, same kernel
+shape as inference), emits a single (loss_sum, weight_sum, grad-blob) row,
+and the driver sums partition gradients, normalizes by the total class
+weight, clips, and applies the optimizer — synchronous SGD with the
+driver as the (only) parameter server, the standard Spark training shape.
+
+Exactness: sum-form gradients make the distributed result equal to the
+single-process full-batch gradient bit-for-bit up to fp summation order
+(tests/test_training.py pins rtol 1e-12 in fp64, bn_mode="eval").
+
+BatchNorm: "eval" (default) freezes running stats — every partition sees
+identical normalization, so gradients aggregate exactly (the fine-tuning
+form).  "train" uses per-partition batch statistics — the same semantics
+as torch DDP *without* SyncBN; stats updates are weighted-averaged on the
+driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .. import constants as C
+from .. import optim as OPT
+from .. import weights as W
+from ..config import ModelConfig
+from ..kernel_grad import apply_bn_updates, loss_and_grads
+from .inference import tokens_to_word_ids
+
+FEATURE_COLS = (
+    "word_ids", "masked_tokens", "pos_ids", "ner_ids",
+    "subj_positions", "obj_positions",
+)
+
+_OUT_SCHEMA = "n long, loss_sum double, weight_sum double, blob binary"
+
+
+def gradient_rows(
+    features: DataFrame,
+    params_bc,
+    cfg: ModelConfig,
+    label_col: str = "label_id",
+    vocab_bc=None,
+    class_weights: np.ndarray | None = None,
+    bn_mode: str = "eval",
+    word_topn: int | None = None,
+) -> DataFrame:
+    """features (+ int label column) -> one gradient row per partition."""
+    has_word_ids = "word_ids" in features.columns
+    cw = None if class_weights is None else np.asarray(class_weights, dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        params = {
+            k: np.asarray(v, dtype=np.float64)
+            if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+            for k, v in params_bc.value.items()
+        }
+        vocab = vocab_bc.value if vocab_bc is not None else None
+        total: dict | None = None
+        bn_acc: dict = {}
+        n = 0
+        loss_sum = 0.0
+        weight_sum = 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not has_word_ids:
+                pdf = pdf.assign(
+                    word_ids=tokens_to_word_ids(pdf["masked_tokens"], vocab)
+                )
+            lengths = pdf["word_ids"].map(len).to_numpy()
+            for l in np.unique(lengths):
+                if l == 0 or l > C.ABS_MAX_LEN:
+                    continue
+                idx = np.nonzero(lengths == l)[0]
+                stack = lambda col: np.array(
+                    [np.asarray(x, dtype=np.int64) for x in pdf[col].iloc[idx]]
+                )
+                ls, ws, grads, bn_up = loss_and_grads(
+                    params, cfg,
+                    stack("word_ids"), stack("pos_ids"), stack("ner_ids"),
+                    stack("subj_positions"), stack("obj_positions"),
+                    pdf[label_col].iloc[idx].to_numpy(dtype=np.int64),
+                    class_weights=cw, bn_mode=bn_mode, word_topn=word_topn,
+                )
+                n += len(idx)
+                loss_sum += ls
+                weight_sum += ws
+                if total is None:
+                    total = grads
+                else:
+                    for k_ in grads:
+                        total[k_] += grads[k_]
+                for pre, (mean, var_u, cnt) in bn_up.items():
+                    m0, v0, c0 = bn_acc.get(pre, (0.0, 0.0, 0))
+                    bn_acc[pre] = (m0 + mean * cnt, v0 + var_u * cnt, c0 + cnt)
+        if total is None:
+            return
+        for pre, (msum, vsum, cnt) in bn_acc.items():
+            total[f"__bn_mean__{pre}"] = msum / cnt
+            total[f"__bn_var__{pre}"] = vsum / cnt
+            total[f"__bn_n__{pre}"] = np.array([cnt], dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "loss_sum": [loss_sum],
+                "weight_sum": [weight_sum],
+                "blob": [W.to_bytes(total)],
+            }
+        )
+
+    return features.mapInPandas(run, schema=_OUT_SCHEMA)
+
+
+def aggregate_gradients(rows: list) -> tuple[float, dict, dict]:
+    """Driver-side combine of collected gradient rows.
+
+    Returns (mean_loss, mean_grads, bn_updates) where mean_grads is the
+    gradient of the torch weighted-mean CE over the full dataset."""
+    total: dict = {}
+    bn_n: dict = {}
+    loss_sum = 0.0
+    weight_sum = 0.0
+    for r in rows:
+        loss_sum += r.loss_sum
+        weight_sum += r.weight_sum
+        blob = W.from_bytes(bytes(r.blob))
+        for k, v in blob.items():
+            if not k.startswith("__bn_"):
+                total[k] = total.get(k, 0.0) + v
+            elif k.startswith("__bn_n__"):
+                # weighted-average per-partition BN stats (per-replica BN)
+                pre = k[len("__bn_n__"):]
+                cnt = int(v[0])
+                m0, v0, c0 = bn_n.get(pre, (0.0, 0.0, 0))
+                bn_n[pre] = (
+                    m0 + blob[f"__bn_mean__{pre}"] * cnt,
+                    v0 + blob[f"__bn_var__{pre}"] * cnt,
+                    c0 + cnt,
+                )
+    bn_updates = {
+        pre: (msum / cnt, vsum / cnt, cnt)
+        for pre, (msum, vsum, cnt) in bn_n.items()
+    }
+    grads = {k: v / weight_sum for k, v in total.items()}
+    return loss_sum / weight_sum, grads, bn_updates
+
+
+def train_step(
+    features: DataFrame,
+    params: W.Params,
+    cfg: ModelConfig,
+    optimizer: OPT.Optimizer,
+    label_col: str = "label_id",
+    vocab: dict | None = None,
+    class_weights: np.ndarray | None = None,
+    max_grad_norm: float = 1.0,
+    bn_mode: str = "eval",
+    word_topn: int | None = None,
+) -> float:
+    """One synchronous distributed update (ref:relation_model.py:51-79):
+    forward+backward on executors, clip + optimizer step on the driver.
+    Mutates ``params`` in place; returns the mean weighted-CE loss."""
+    spark = features.sparkSession
+    params_bc = spark.sparkContext.broadcast(params)
+    vocab_bc = spark.sparkContext.broadcast(vocab) if vocab is not None else None
+    try:
+        rows = gradient_rows(
+            features, params_bc, cfg, label_col=label_col, vocab_bc=vocab_bc,
+            class_weights=class_weights, bn_mode=bn_mode, word_topn=word_topn,
+        ).collect()
+    finally:
+        params_bc.unpersist()
+    loss, grads, bn_updates = aggregate_gradients(rows)
+    OPT.clip_grad_norm(grads, max_grad_norm)
+    optimizer.step(params, grads)
+    if bn_updates:
+        apply_bn_updates(params, bn_updates)
+    return loss

@@ -1,0 +1,170 @@
+"""Optimizer zoo + gradient clipping + LR schedules, torch semantics.
+
+NumPy re-implementation of the reference's training machinery
+(ref:utils/torch_utils.py:242-289 ``get_optimizer``, :12-93 ``MyAdagrad``,
+:224-240 ``NoamOpt.rate``; ref:runner.py:145,151,342,350-352 for the
+epoch-level schedules; clipping = ``torch.nn.utils.clip_grad_norm_`` as
+called in ref:model/relation_model.py:74).
+
+Every ``step`` mutates ``params`` in place and keeps its state in a plain
+dict so a whole optimizer is one picklable object (checkpointable through
+weights.to_bytes-style blobs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernel_grad import trainable_keys
+from .weights import Params
+
+Grads = dict
+
+
+def clip_grad_norm(grads: Grads, max_norm: float) -> float:
+    """Global-L2 clip, torch.nn.utils.clip_grad_norm_ semantics: scale ALL
+    gradients by max_norm / (total_norm + 1e-6) when total_norm > max_norm.
+    Returns the pre-clip total norm."""
+    total = float(
+        np.sqrt(sum(float((g_ ** 2).sum()) for g_ in grads.values()))
+    )
+    if total > max_norm:
+        scale = max_norm / (total + 1e-6)
+        for k in grads:
+            grads[k] = grads[k] * scale
+    return total
+
+
+class Optimizer:
+    """Base: holds per-parameter state keyed like the param dict."""
+
+    def __init__(self, lr: float):
+        self.lr = lr
+        self.state: dict = {}
+        self.step_count = 0
+
+    def set_lr(self, new_lr: float) -> None:  # ref:relation_model.py:107
+        self.lr = new_lr
+
+    def step(self, params: Params, grads: Grads) -> None:
+        raise NotImplementedError
+
+
+class SGD(Optimizer):
+    """torch.optim.SGD(momentum=0.9, nesterov=True) — ref:torch_utils.py:254."""
+
+    def __init__(self, lr: float, momentum: float = 0.9, nesterov: bool = True):
+        super().__init__(lr)
+        self.momentum = momentum
+        self.nesterov = nesterov
+
+    def step(self, params: Params, grads: Grads) -> None:
+        self.step_count += 1
+        for k in trainable_keys(params):
+            g = grads[k]
+            buf = self.state.get(k)
+            buf = g.copy() if buf is None else self.momentum * buf + g
+            self.state[k] = buf
+            d = g + self.momentum * buf if self.nesterov else buf
+            params[k] = params[k] - self.lr * d
+
+
+class MyAdagrad(Optimizer):
+    """Adagrad with a nonzero initial accumulator (TF-style), exactly
+    ref:utils/torch_utils.py:12-93: sum += g^2 (starting at
+    init_accu_value), p -= clr * g / (sqrt(sum) + 1e-10) with
+    clr = lr / (1 + (step-1) * lr_decay)."""
+
+    def __init__(self, lr: float, lr_decay: float = 0.0,
+                 init_accu_value: float = 0.1, weight_decay: float = 0.0):
+        super().__init__(lr)
+        self.lr_decay = lr_decay
+        self.init_accu_value = init_accu_value
+        self.weight_decay = weight_decay
+
+    def step(self, params: Params, grads: Grads) -> None:
+        self.step_count += 1
+        for k in trainable_keys(params):
+            g = grads[k]
+            if self.weight_decay:
+                g = g + self.weight_decay * params[k]
+            acc = self.state.get(k)
+            if acc is None:
+                acc = np.full_like(params[k], self.init_accu_value)
+            acc = acc + g * g
+            self.state[k] = acc
+            clr = self.lr / (1 + (self.step_count - 1) * self.lr_decay)
+            params[k] = params[k] - clr * g / (np.sqrt(acc) + 1e-10)
+
+
+class Adam(Optimizer):
+    """torch.optim.Adam(betas=(0.9, 0.98), eps=1e-9) — ref:torch_utils.py:276."""
+
+    def __init__(self, lr: float, betas: tuple = (0.9, 0.98), eps: float = 1e-9):
+        super().__init__(lr)
+        self.b1, self.b2 = betas
+        self.eps = eps
+
+    def step(self, params: Params, grads: Grads) -> None:
+        self.step_count += 1
+        t = self.step_count
+        for k in trainable_keys(params):
+            g = grads[k]
+            m, v = self.state.get(k, (0.0, 0.0))
+            m = self.b1 * m + (1 - self.b1) * g
+            v = self.b2 * v + (1 - self.b2) * g * g
+            self.state[k] = (m, v)
+            mhat = m / (1 - self.b1 ** t)
+            vhat = v / (1 - self.b2 ** t)
+            params[k] = params[k] - self.lr * mhat / (np.sqrt(vhat) + self.eps)
+
+
+class Adamax(Optimizer):
+    """torch.optim.Adamax — ref:torch_utils.py:278."""
+
+    def __init__(self, lr: float, betas: tuple = (0.9, 0.999), eps: float = 1e-8):
+        super().__init__(lr)
+        self.b1, self.b2 = betas
+        self.eps = eps
+
+    def step(self, params: Params, grads: Grads) -> None:
+        self.step_count += 1
+        t = self.step_count
+        for k in trainable_keys(params):
+            g = grads[k]
+            m, u = self.state.get(k, (0.0, 0.0))
+            m = self.b1 * m + (1 - self.b1) * g
+            u = np.maximum(self.b2 * u, np.abs(g) + self.eps)
+            self.state[k] = (m, u)
+            params[k] = params[k] - (self.lr / (1 - self.b1 ** t)) * m / u
+
+
+def noam_rate(step: int, model_size: int = 360, factor: float = 1.0,
+              warmup: int = 200) -> float:
+    """ref:utils/torch_utils.py:231-238 (NoamOpt.rate)."""
+    return factor * (
+        model_size ** (-0.5) * min(step ** (-0.5), step * warmup ** (-1.5))
+    )
+
+
+def epoch_noam_lr(epoch: int) -> float:
+    """ref:runner.py:350: per-epoch schedule for the noopt_* optimizers."""
+    return 10 * (360 ** (-0.5) * min(epoch ** (-0.5), epoch * 15 ** (-1.5)))
+
+
+def decay_lr(current_lr: float, lr_decay: float = 0.9) -> float:
+    """ref:runner.py:342: multiplicative decay when dev F1 stalls."""
+    return current_lr * lr_decay
+
+
+def get_optimizer(name: str, lr: float) -> Optimizer:
+    """ref:utils/torch_utils.py:242-289, minus the torch-only exotics."""
+    if name == "sgd":
+        return SGD(lr, momentum=0.9, nesterov=True)
+    if name in ("adagrad", "myadagrad"):
+        return MyAdagrad(lr, init_accu_value=0.1)
+    if name == "adam":
+        return Adam(lr, betas=(0.9, 0.98), eps=1e-9)
+    if name == "adamax":
+        return Adamax(lr)
+    raise ValueError(f"Unsupported optimizer: {name}")

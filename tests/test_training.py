@@ -1,0 +1,280 @@
+"""Training step (ref:model/relation_model.py:51-79 in NumPy + Spark).
+
+- finite-difference gradient check of kernel_grad.loss_and_grads across
+  the architecture-flag combinations
+- optimizer semantics vs hand-computed torch update sequences
+- distributed (Spark, 3 partitions) gradients == single-process gradients
+- loss decreases under repeated distributed train_step calls
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from relation_extraction_transformer_spark import constants as C
+from relation_extraction_transformer_spark import kernel_grad as KG
+from relation_extraction_transformer_spark import optim as OPT
+from relation_extraction_transformer_spark import weights as W
+from relation_extraction_transformer_spark.config import ModelConfig
+
+
+def tiny_cfg(**kw):
+    base = dict(emb_dim=8, pos_dim=2, ner_dim=2, n_head=3, hidden_self=7,
+                attn_dim=5, pe_dim=3, query_size_attn=12, vocab_size=30,
+                num_layers_encoder=1, num_layers_lstm=2)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_batch(rng, B=3, l=5):
+    return (
+        rng.integers(1, 30, (B, l)),
+        rng.integers(1, 5, (B, l)),
+        rng.integers(1, 4, (B, l)),
+        rng.integers(-3, 4, (B, l)),
+        rng.integers(-3, 4, (B, l)),
+        rng.integers(0, 42, (B,)),
+    )
+
+
+COMBOS = [
+    ("shipped", dict(), "train"),
+    ("bn_eval", dict(), "eval"),
+    ("sinusoid_layernorm",
+     dict(diagonal_positional_attention=False, use_batch_norm=False), "train"),
+    ("classic_residual", dict(new_residual=False), "train"),
+    ("lstm_path", dict(self_att=False), "train"),
+    ("combined", dict(self_att_and_rnn=True), "train"),
+    ("two_layer_encoder", dict(num_layers_encoder=2), "train"),
+]
+
+
+@pytest.mark.parametrize("name,flags,bn_mode", COMBOS,
+                         ids=[c[0] for c in COMBOS])
+def test_gradients_match_finite_differences(name, flags, bn_mode):
+    cfg = tiny_cfg(**flags)
+    rng = np.random.default_rng(7)
+    p = W.generate_weights(cfg, vocab_size=30)
+    batch = make_batch(rng)
+    cw = rng.uniform(0.5, 2.0, 42)
+    _, _, grads, _ = KG.loss_and_grads(
+        p, cfg, *batch, class_weights=cw, bn_mode=bn_mode
+    )
+    eps = 1e-5
+    for key in KG.trainable_keys(p):
+        flat = p[key].reshape(-1)
+        for ix in rng.choice(flat.size, size=min(3, flat.size), replace=False):
+            orig = flat[ix]
+            flat[ix] = orig + eps
+            lp = KG.loss_and_grads(p, cfg, *batch, class_weights=cw,
+                                   bn_mode=bn_mode)[0]
+            flat[ix] = orig - eps
+            lm = KG.loss_and_grads(p, cfg, *batch, class_weights=cw,
+                                   bn_mode=bn_mode)[0]
+            flat[ix] = orig
+            fd = (lp - lm) / (2 * eps)
+            an = grads[key].reshape(-1)[ix]
+            # FD noise floor ~ |loss| * machine-eps / eps ~ 1e-9
+            assert abs(fd - an) <= max(1e-4 * max(abs(fd), abs(an)), 2e-9), (
+                f"{name}/{key}[{ix}]: fd={fd} analytic={an}"
+            )
+
+
+def test_word_topn_partial_grad():
+    """ref:torch_utils.py:311 keep_partial_grad semantics."""
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(3)
+    p = W.generate_weights(cfg, vocab_size=30)
+    batch = make_batch(rng)
+    _, _, g_full, _ = KG.loss_and_grads(p, cfg, *batch)
+    _, _, g_topn, _ = KG.loss_and_grads(p, cfg, *batch, word_topn=5)
+    assert np.allclose(g_topn["word_emb"][:5], g_full["word_emb"][:5])
+    assert not g_topn["word_emb"][5:].any()
+    _, _, g_frozen, _ = KG.loss_and_grads(p, cfg, *batch, word_topn=0)
+    assert not g_frozen["word_emb"].any()
+
+
+def test_pad_rows_never_learn():
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(4)
+    p = W.generate_weights(cfg, vocab_size=30)
+    _, _, g, _ = KG.loss_and_grads(p, cfg, *make_batch(rng))
+    for name in ("word_emb", "pos_emb", "ner_emb", "enc2_emb", "dpa_emb"):
+        assert not g[name][C.PAD_ID].any(), name
+
+
+def test_sgd_nesterov_matches_torch_sequence():
+    p = {"x_w": np.array([1.0, 2.0])}
+    opt = OPT.SGD(lr=0.1, momentum=0.9, nesterov=True)
+    g1 = {"x_w": np.array([0.5, -1.0])}
+    opt.step(p, g1)
+    # torch: buf = g; d = g + mu * buf = 1.9 * g; p -= lr * d
+    np.testing.assert_allclose(p["x_w"], [1.0, 2.0] - 0.1 * 1.9 * g1["x_w"])
+    prev = p["x_w"].copy()
+    g2 = {"x_w": np.array([0.2, 0.3])}
+    opt.step(p, g2)
+    buf = 0.9 * g1["x_w"] + g2["x_w"]
+    np.testing.assert_allclose(p["x_w"], prev - 0.1 * (g2["x_w"] + 0.9 * buf))
+
+
+def test_myadagrad_matches_reference_sequence():
+    """ref:utils/torch_utils.py:63-91: sum starts at 0.1, p -= clr*g/(sqrt(sum)+1e-10)."""
+    p = {"x_w": np.array([1.0])}
+    opt = OPT.MyAdagrad(lr=0.1, init_accu_value=0.1)
+    g = {"x_w": np.array([2.0])}
+    opt.step(p, g)
+    acc = 0.1 + 4.0
+    np.testing.assert_allclose(
+        p["x_w"], [1.0 - 0.1 * 2.0 / (np.sqrt(acc) + 1e-10)]
+    )
+    prev = p["x_w"].copy()
+    opt.step(p, {"x_w": np.array([-1.0])})
+    acc += 1.0
+    np.testing.assert_allclose(
+        p["x_w"], prev - 0.1 * (-1.0) / (np.sqrt(acc) + 1e-10)
+    )
+
+
+def test_adam_bias_correction():
+    p = {"x_w": np.array([0.0])}
+    opt = OPT.Adam(lr=0.01, betas=(0.9, 0.98), eps=1e-9)
+    g = np.array([1.0])
+    opt.step(p, {"x_w": g})
+    m = 0.1 * g / (1 - 0.9)
+    v = 0.02 * g * g / (1 - 0.98)
+    np.testing.assert_allclose(p["x_w"], -0.01 * m / (np.sqrt(v) + 1e-9))
+
+
+def test_clip_grad_norm_torch_semantics():
+    g = {"a_w": np.array([3.0]), "b_w": np.array([4.0])}
+    total = OPT.clip_grad_norm(g, max_norm=1.0)
+    assert total == pytest.approx(5.0)
+    scale = 1.0 / (5.0 + 1e-6)
+    np.testing.assert_allclose(g["a_w"], [3.0 * scale])
+    g2 = {"a_w": np.array([0.3])}
+    OPT.clip_grad_norm(g2, max_norm=1.0)  # under the cap: untouched
+    np.testing.assert_allclose(g2["a_w"], [0.3])
+
+
+def test_noam_rate_reference_constants():
+    """ref:runner.py:350 and ref:torch_utils.py:231-238 agree at warmup."""
+    assert OPT.epoch_noam_lr(15) == pytest.approx(
+        10 * 360 ** -0.5 * 15 ** -0.5
+    )
+    assert OPT.noam_rate(200, 360, 1.0, 200) == pytest.approx(
+        360 ** -0.5 * 200 ** -0.5
+    )
+
+
+def test_bn_running_stats_update():
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(5)
+    p = W.generate_weights(cfg, vocab_size=30)
+    m0 = p["l0_mha_bn_mean"].copy()
+    _, _, _, bn_up = KG.loss_and_grads(p, cfg, *make_batch(rng), bn_mode="train")
+    assert "l0_mha" in bn_up and "l0_ffn" in bn_up
+    KG.apply_bn_updates(p, bn_up)
+    mean, _, _ = bn_up["l0_mha"]
+    np.testing.assert_allclose(p["l0_mha_bn_mean"], 0.9 * m0 + 0.1 * mean)
+
+
+def _tacred_features(spark, tmp_path, n=24):
+    from relation_extraction_transformer_spark.functions import masking as M
+    from relation_extraction_transformer_spark.sources import tacred as TJ
+
+    path = str(tmp_path / "train.json")
+    TJ.write_synthetic_tacred_json(path, n=n, seed=11)
+    feats = TJ.tacred_to_candidates(TJ.read_tacred_json(spark, path))
+    return feats.withColumn(
+        "label_id", M.label_to_id(F.col("gold_relation")).cast("long")
+    )
+
+
+def _vocab_for(rows):
+    vocab = {C.PAD_TOKEN: 0, C.UNK_TOKEN: 1}
+    for r in rows:
+        for t in r.masked_tokens:
+            vocab.setdefault(t, len(vocab))
+    return vocab
+
+
+def test_distributed_gradients_equal_local(spark, tmp_path):
+    """Spark partition-sum gradients == single-process full-batch gradients
+    (fp64, frozen BN so every partition normalizes identically)."""
+    from relation_extraction_transformer_spark.operators import train as TR
+    from relation_extraction_transformer_spark.operators.inference import (
+        tokens_to_word_ids,
+    )
+    import pandas as pd
+
+    feats = _tacred_features(spark, tmp_path)
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = W.generate_weights(cfg, vocab_size=len(vocab))
+
+    grad_rows = TR.gradient_rows(
+        feats.repartition(3),
+        spark.sparkContext.broadcast(params),
+        cfg,
+        vocab_bc=spark.sparkContext.broadcast(vocab),
+        bn_mode="eval",
+    ).collect()
+    assert len(grad_rows) >= 2, "want a real multi-partition aggregation"
+    loss_d, grads_d, _ = TR.aggregate_gradients(grad_rows)
+
+    # local full-batch reference over the same rows
+    p64 = {k: np.asarray(v, dtype=np.float64)
+           if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+           for k, v in params.items()}
+    word_ids = tokens_to_word_ids(
+        pd.Series([list(r.masked_tokens) for r in rows]), vocab
+    )
+    lengths = np.array([len(w) for w in word_ids])
+    loss_sum = 0.0
+    weight_sum = 0.0
+    total: dict = {}
+    for l in np.unique(lengths):
+        idx = np.nonzero(lengths == l)[0]
+        ls, ws, g, _ = KG.loss_and_grads(
+            p64, cfg,
+            np.array([word_ids[i] for i in idx]),
+            np.array([list(rows[i].pos_ids) for i in idx]),
+            np.array([list(rows[i].ner_ids) for i in idx]),
+            np.array([list(rows[i].subj_positions) for i in idx]),
+            np.array([list(rows[i].obj_positions) for i in idx]),
+            np.array([rows[i].label_id for i in idx]),
+            bn_mode="eval",
+        )
+        loss_sum += ls
+        weight_sum += ws
+        for k in g:
+            total[k] = total.get(k, 0.0) + g[k]
+
+    assert loss_d == pytest.approx(loss_sum / weight_sum, rel=1e-12)
+    for k in KG.trainable_keys(params):
+        np.testing.assert_allclose(
+            grads_d[k], total[k] / weight_sum, rtol=1e-12, atol=1e-14,
+            err_msg=k,
+        )
+
+
+def test_train_step_decreases_loss(spark, tmp_path):
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = {
+        k: np.asarray(v, dtype=np.float64)
+        if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+        for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+    }
+    opt = OPT.get_optimizer("myadagrad", lr=0.3)
+    losses = [
+        TR.train_step(feats, params, cfg, opt, vocab=vocab, bn_mode="eval")
+        for _ in range(5)
+    ]
+    assert losses[-1] < losses[0], losses
+    assert losses[-1] < losses[1] < losses[0] * 1.05, losses
