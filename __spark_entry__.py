@@ -74,9 +74,55 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "decoder",
         )
 
+    def train_loss_curve(spark, sf_dir):
+        """Distributed training step (operators/train.py): 3 synchronous
+        data-parallel updates on a tiny TACRED fixture; returns the loss
+        curve.  Rows-only: the hard gates are the finite-difference
+        gradient checks and the distributed==local parity in
+        tests/test_training.py."""
+        import os
+        import tempfile
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from relation_extraction_transformer_spark import constants as CN
+        from relation_extraction_transformer_spark import optim as OPT
+        from relation_extraction_transformer_spark import weights as W
+        from relation_extraction_transformer_spark.config import ModelConfig
+        from relation_extraction_transformer_spark.functions import masking as M
+        from relation_extraction_transformer_spark.operators import train as TR
+        from relation_extraction_transformer_spark.sources import tacred as TJ
+
+        path = os.path.join(tempfile.gettempdir(), "ret_train_fixture.json")
+        if not os.path.exists(path):
+            TJ.write_synthetic_tacred_json(path, n=24, seed=11)
+        feats = TJ.tacred_to_candidates(TJ.read_tacred_json(spark, path))
+        feats = feats.withColumn(
+            "label_id", M.label_to_id(F.col("gold_relation")).cast("long")
+        ).repartition(2).cache()
+        vocab = {CN.PAD_TOKEN: 0, CN.UNK_TOKEN: 1}
+        for r in feats.select("masked_tokens").collect():
+            for t in r.masked_tokens:
+                vocab.setdefault(t, len(vocab))
+        cfg = ModelConfig(vocab_size=len(vocab))
+        params = {
+            k: np.asarray(v, np.float64)
+            if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+            for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+        }
+        opt = OPT.get_optimizer("myadagrad", lr=0.3)
+        losses = [
+            (step, float(TR.train_step(feats, params, cfg, opt, vocab=vocab)))
+            for step in range(3)
+        ]
+        feats.unpersist()
+        return spark.createDataFrame(losses, "step int, loss double")
+
     return {
         "kg_triples": kg_triples,
         "media_features": media_features,
+        "train_loss_curve": train_loss_curve,
     }
 
 
