@@ -11,9 +11,15 @@ LSH parameters (k, bands, salt format, band digest) cannot diverge:
 
 Scale shape: ONE explode over the shingle array, ONE partially-aggregating
 groupBy computing all k min-hashes, a stack() unpivot to band rows, and an
-equi-join on (band, band_hash) — never an all-pairs comparison.  All
-hashing is md5 (identical lowercase hex in Spark and DuckDB, so the same
-construction is expressible in the oracle dialect).
+equi-join on (band, band_hash) — never an all-pairs comparison.
+
+Hashing: each shingle is md5'd ONCE into a 60-bit integer, and the k
+signatures are universal affine transforms ((h mod P) * a_k + b_k) mod P
+(P = 2^31 - 1) of that base hash — the standard datasketch-style
+construction.  Round 1 computed k separate salted md5s per shingle; one
+md5 + k multiply-adds is ~4x cheaper on the dominant dedup-path cost.
+Every fragment has a DuckDB twin built HERE (``duck_*``) so the Spark
+plan and the oracle SQL can never diverge.
 """
 
 from __future__ import annotations
@@ -23,6 +29,23 @@ from pyspark.sql import functions as F
 
 MINHASH_K = 8
 MINHASH_BANDS = 2  # 2 bands x 4 rows
+
+_P = (1 << 31) - 1  # Mersenne prime; (h%P)*a + b stays well under 2^63
+
+
+def _affine_consts(k: int) -> tuple[int, int]:
+    a = (k * 1103515245 + 12345) % _P or 1
+    b = (k * 2654435761 + 1013904223) % _P
+    return a, b
+
+
+def base_hash(col: Column) -> Column:
+    """Shingle -> 60-bit integer: md5 hex chars [2..16] as BIGINT
+    (identical in DuckDB: see BASE_HASH_DUCK)."""
+    return F.conv(F.substring(F.md5(col), 2, 15), 16, 10).cast("long")
+
+
+BASE_HASH_DUCK = "CAST(('0x' || substr(md5({x}), 2, 15)) AS BIGINT)"
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
@@ -59,18 +82,24 @@ def minhash_bands(
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """(id_col, shingle-array expr) -> (id_col, band, band_hash), one row
-    per band.  Signature i = min(md5(f"{i}:" || shingle))."""
+    per band.  Signature i = min over shingles of the i-th universal
+    affine transform of the shingle's base hash."""
     rows_per_band = k // bands
-    sh = df.select(id_col, F.explode(shingles).alias("s"))
+    sh = df.select(id_col, F.explode(shingles).alias("s")).select(
+        id_col, base_hash(F.col("s")).alias("h")
+    )
     sigs = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"sig{i}")
+            F.min(_affine_sig(F.col("h"), i)).alias(f"sig{i}")
             for i in range(k)
         ]
     )
     band_cols = [
         f"{b}, md5(concat_ws('|', "
-        + ", ".join(f"sig{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ", ".join(
+            f"CAST(sig{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
         + "))"
         for b in range(bands)
     ]
@@ -78,6 +107,73 @@ def minhash_bands(
         id_col,
         f"stack({bands}, " + ", ".join(band_cols) + ") AS (band, band_hash)",
     )
+
+
+def _affine_sig(h: Column, k: int) -> Column:
+    a, b = _affine_consts(k)
+    return ((h % _P) * F.lit(a) + F.lit(b)) % _P
+
+
+# ---- DuckDB twins (used by plans/sql_queries.py and plans/kg_sql.py) ----
+
+
+def duck_word_shingles(text_col: str, n: int = 3) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        f"ELSE [{text_col}] END"
+    )
+
+
+def duck_char_shingles(col: str, n: int = 3) -> str:
+    mk = f"('^' || {col} || '$')"
+    return (
+        f"CASE WHEN len({mk}) >= {n} THEN "
+        f"list_transform(range(1, len({mk}) - {n - 2}), "
+        f"i -> substr({mk}, CAST(i AS INT), {n})) ELSE [{mk}] END"
+    )
+
+
+def duck_minhash_ctes(
+    source: str,
+    id_col: str,
+    shingles_expr: str,
+    prefix: str = "mh",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> str:
+    """CTE text '<prefix>_sh AS (...), <prefix>_sigs AS (...),
+    <prefix>_bands AS (...)' — the exact DuckDB twin of
+    :func:`minhash_bands`.  Embed after a WITH keyword."""
+    rows_per_band = k // bands
+    sig_cols = ", ".join(
+        f"MIN(((h % {_P}) * {_affine_consts(i)[0]} + {_affine_consts(i)[1]}) "
+        f"% {_P}) AS sig{i}"
+        for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(
+            f"CAST(sig{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + f")) AS band_hash FROM {prefix}_sigs"
+        for b in range(bands)
+    )
+    base = BASE_HASH_DUCK.format(x="s")
+    return f"""
+    {prefix}_sh AS (
+      SELECT {id_col}, {base} AS h
+      FROM (SELECT {id_col}, unnest({shingles_expr}) AS s FROM {source})
+    ),
+    {prefix}_sigs AS (
+      SELECT {id_col}, {sig_cols} FROM {prefix}_sh GROUP BY {id_col}
+    ),
+    {prefix}_bands AS (
+      {band_selects}
+    )"""
 
 
 def band_candidate_pairs(

@@ -84,38 +84,19 @@ def _sid(x: str) -> str:
 
 
 def _char_shingle_bands_sql(names_cte: str) -> str:
-    """names_cte must expose (node_id, nname).  Emits CTEs:
-    marked -> csigs -> cbands (node_id, band, band_hash), the DuckDB twin
-    of functions/minhash.py over char 3-gram shingles (k=8, 2 bands)."""
-    sigs = ", ".join(
-        "list_aggregate(list_transform(sh, s -> md5(concat('"
-        + f"{i}:', s))), 'min') AS sig{i}"
-        for i in range(8)
-    )
+    """names_cte must expose (node_id, nname).  Emits CTEs ending in
+    cbands (node_id, band, band_hash) plus a shing CTE for the Jaccard
+    verify — built from the SAME dual-dialect minhash core the Spark side
+    uses (functions/minhash.py)."""
+    from ..functions import minhash as MH
+
     return f"""
-    marked AS (
-      SELECT node_id, '^' || nname || '$' AS mk FROM {names_cte}
-    ),
     shing AS (
-      SELECT node_id,
-             CASE WHEN len(mk) >= 3
-                  THEN list_transform(range(1, len(mk) - 1),
-                                      i -> substr(mk, CAST(i AS INT), 3))
-                  ELSE [mk] END AS sh
-      FROM marked
+      SELECT node_id, {MH.duck_char_shingles('nname')} AS sh
+      FROM {names_cte}
     ),
-    csigs AS (
-      SELECT node_id, {sigs} FROM shing
-    ),
-    cbands AS (
-      SELECT node_id, 0 AS band,
-             md5(concat_ws('|', sig0, sig1, sig2, sig3)) AS band_hash
-      FROM csigs
-      UNION ALL
-      SELECT node_id, 1 AS band,
-             md5(concat_ws('|', sig4, sig5, sig6, sig7)) AS band_hash
-      FROM csigs
-    )"""
+    {MH.duck_minhash_ctes('shing', 'node_id', 'sh', prefix='cb')},
+    cbands AS (SELECT node_id, band, band_hash FROM cb_bands)"""
 
 
 # kg_candidates -------------------------------------------------------------

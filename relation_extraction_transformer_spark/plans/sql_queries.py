@@ -458,34 +458,13 @@ _MINHASH_BANDS = MH.MINHASH_BANDS  # 2 bands x 4 rows
 
 _spark_shingles = MH.word_shingles  # shared LSH core (functions/minhash.py)
 
+_DUCK_SHINGLES = MH.duck_word_shingles("text")
 
-_DUCK_SHINGLES = (
-    "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
-    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
-    "i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) "
-    "ELSE [text] END"
+# the DuckDB twin of MH.minhash_bands over the documents table; embed
+# after WITH (defines mh_sh / mh_sigs / mh_bands)
+_DUCK_MH_CTES = MH.duck_minhash_ctes(
+    "documents", "doc_id", _DUCK_SHINGLES, prefix="mh"
 )
-
-
-def _spark_minhash_sig(shingles_col, k: int):
-    return F.array_min(
-        F.transform(shingles_col, lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)))
-    )
-
-
-def _duck_minhash_sig(shingles_expr: str, k: int) -> str:
-    return (
-        f"list_aggregate(list_transform({shingles_expr}, "
-        f"s -> md5(concat('{k}:', s))), 'min')"
-    )
-
-
-def _duck_band(b: int) -> str:
-    parts = ", ".join(
-        _duck_minhash_sig(_DUCK_SHINGLES, k)
-        for k in range(b * 4, b * 4 + 4)
-    )
-    return f"md5(concat_ws('|', {parts}))"
 
 
 def _spark_minhash_bands(spark, sf):
@@ -502,10 +481,7 @@ def _spark_minhash_bands(spark, sf):
 
 register(
     "minhash_bands",  # signature -> LSH band hashes (dedup scale path)
-    " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {_duck_band(b)} AS band_hash FROM documents"
-        for b in range(_MINHASH_BANDS)
-    ),
+    f"WITH {_DUCK_MH_CTES} SELECT doc_id, band, band_hash FROM mh_bands",
 )(_spark_minhash_bands)
 
 
@@ -518,12 +494,9 @@ def _spark_minhash_pairs(spark, sf):
 register(
     "minhash_candidate_pairs",  # LSH band-bucket self-join
     f"""
-    WITH bands AS ({" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {_duck_band(b)} AS band_hash FROM documents"
-        for b in range(_MINHASH_BANDS)
-    )})
+    WITH {_DUCK_MH_CTES}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM mh_bands a JOIN mh_bands b
       ON a.band = b.band AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
     """,
@@ -567,13 +540,10 @@ def _spark_ngram_jaccard(spark, sf):
 register(
     "ngram_jaccard_buckets",  # n-gram Jaccard verify over LSH-band buckets
     f"""
-    WITH bands AS ({" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {_duck_band(b)} AS band_hash FROM documents"
-        for b in range(_MINHASH_BANDS)
-    )}),
+    WITH {_DUCK_MH_CTES},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM mh_bands a JOIN mh_bands b
         ON a.band = b.band AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),
