@@ -139,6 +139,71 @@ class Adamax(Optimizer):
             params[k] = params[k] - (self.lr / (1 - self.b1 ** t)) * m / u
 
 
+class NAdam(Optimizer):
+    """Keras-style Nesterov Adam, ref:utils/torch_utils.py:96-205.
+
+    Faithful to the reference's math with ONE documented deviation: the
+    reference's ``step`` has an indentation bug (``return loss`` inside
+    the parameter loop, :205) that silently updates only the first
+    parameter tensor per step; this implementation updates all of them
+    (the intended algorithm)."""
+
+    def __init__(self, lr: float = 1e-3, betas: tuple = (0.9, 0.999),
+                 eps: float = 1e-8, schedule_decay: float = 0.004):
+        super().__init__(lr)
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.schedule_decay = schedule_decay
+        self.m_schedule = 1.0
+
+    def step(self, params: Params, grads: Grads) -> None:
+        self.step_count += 1
+        t = self.step_count
+        mc_t = self.b1 * (1.0 - 0.5 * 0.96 ** (t * self.schedule_decay))
+        mc_t1 = self.b1 * (1.0 - 0.5 * 0.96 ** ((t + 1) * self.schedule_decay))
+        m_schedule_new = self.m_schedule * mc_t
+        m_schedule_next = self.m_schedule * mc_t * mc_t1
+        self.m_schedule = m_schedule_new
+        for k in trainable_keys(params):
+            g = grads[k]
+            m, v = self.state.get(k, (0.0, 0.0))
+            m = self.b1 * m + (1 - self.b1) * g
+            v = self.b2 * v + (1 - self.b2) * g * g
+            self.state[k] = (m, v)
+            g_prime = g / (1.0 - m_schedule_new)
+            m_prime = m / (1.0 - m_schedule_next)
+            v_prime = v / (1.0 - self.b2 ** t)
+            m_bar = (1.0 - mc_t) * g_prime + mc_t1 * m_prime
+            params[k] = params[k] - self.lr * m_bar / (np.sqrt(v_prime) + self.eps)
+
+
+class ASGD(Optimizer):
+    """torch.optim.ASGD defaults (lambd=1e-4, alpha=0.75, t0=1e6) —
+    ref:torch_utils.py:270.  Keeps the Polyak average in state['ax'];
+    with the default t0 the averaged weights only diverge from the live
+    weights after 1e6 steps, matching torch."""
+
+    def __init__(self, lr: float, lambd: float = 1e-4, alpha: float = 0.75,
+                 t0: float = 1e6):
+        super().__init__(lr)
+        self.lambd, self.alpha, self.t0 = lambd, alpha, t0
+
+    def step(self, params: Params, grads: Grads) -> None:
+        self.step_count += 1
+        for k in trainable_keys(params):
+            g = grads[k]
+            eta, mu, ax = self.state.get(k, (self.lr, 1.0, None))
+            # torch order: decay, step, averaging, then eta/mu update
+            params[k] = params[k] * (1 - self.lambd * eta)
+            params[k] = params[k] - eta * g
+            ax = params[k].copy() if (ax is None or mu == 1) else ax + mu * (
+                params[k] - ax
+            )
+            eta = self.lr / (1 + self.lambd * self.lr * self.step_count) ** self.alpha
+            mu = 1.0 / max(1.0, self.step_count - self.t0)
+            self.state[k] = (eta, mu, ax)
+
+
 def noam_rate(step: int, model_size: int = 360, factor: float = 1.0,
               warmup: int = 200) -> float:
     """ref:utils/torch_utils.py:231-238 (NoamOpt.rate)."""
@@ -167,4 +232,8 @@ def get_optimizer(name: str, lr: float) -> Optimizer:
         return Adam(lr, betas=(0.9, 0.98), eps=1e-9)
     if name == "adamax":
         return Adamax(lr)
+    if name == "nadam":
+        return NAdam(lr)
+    if name == "asgd":
+        return ASGD(lr)
     raise ValueError(f"Unsupported optimizer: {name}")

@@ -278,3 +278,36 @@ def test_train_step_decreases_loss(spark, tmp_path):
     ]
     assert losses[-1] < losses[0], losses
     assert losses[-1] < losses[1] < losses[0] * 1.05, losses
+
+
+def test_nadam_matches_reference_math():
+    """ref:torch_utils.py:180-204 step math, hand-computed first step."""
+    p = {"x_w": np.array([0.0])}
+    opt = OPT.NAdam(lr=0.01)
+    g = np.array([1.0])
+    opt.step(p, {"x_w": g})
+    b1, b2, sd = 0.9, 0.999, 0.004
+    mc1 = b1 * (1 - 0.5 * 0.96 ** (1 * sd))
+    mc2 = b1 * (1 - 0.5 * 0.96 ** (2 * sd))
+    msn = 1.0 * mc1
+    msx = 1.0 * mc1 * mc2
+    m = (1 - b1) * g
+    v = (1 - b2) * g * g
+    m_bar = (1 - mc1) * (g / (1 - msn)) + mc2 * (m / (1 - msx))
+    v_prime = v / (1 - b2)
+    np.testing.assert_allclose(
+        p["x_w"], -0.01 * m_bar / (np.sqrt(v_prime) + 1e-8)
+    )
+
+
+def test_asgd_matches_torch_sequence():
+    """torch.optim.ASGD defaults: decay then step; eta updated after."""
+    p = {"x_w": np.array([1.0])}
+    opt = OPT.ASGD(lr=0.1)
+    opt.step(p, {"x_w": np.array([2.0])})
+    # step 1 uses eta = lr
+    np.testing.assert_allclose(p["x_w"], [1.0 * (1 - 1e-4 * 0.1) - 0.1 * 2.0])
+    prev = p["x_w"].copy()
+    opt.step(p, {"x_w": np.array([1.0])})
+    eta2 = 0.1 / (1 + 1e-4 * 0.1 * 1) ** 0.75
+    np.testing.assert_allclose(p["x_w"], prev * (1 - 1e-4 * eta2) - eta2 * 1.0)
