@@ -311,3 +311,47 @@ def test_asgd_matches_torch_sequence():
     opt.step(p, {"x_w": np.array([1.0])})
     eta2 = 0.1 / (1 + 1e-4 * 0.1 * 1) ** 0.75
     np.testing.assert_allclose(p["x_w"], prev * (1 - 1e-4 * eta2) - eta2 * 1.0)
+
+
+def test_should_decay_lr_reference_policy():
+    from relation_extraction_transformer_spark.operators.train import (
+        should_decay_lr,
+    )
+
+    # patience: no decay until history exceeds decay_epoch
+    assert not should_decay_lr([0.5, 0.4], 0.3, decay_epoch=2)
+    assert should_decay_lr([0.5, 0.4, 0.3], 0.3, decay_epoch=2)  # plateau
+    assert not should_decay_lr([0.5, 0.4, 0.3], 0.35, decay_epoch=2)  # improved
+
+
+def test_fit_epoch_loop(spark, tmp_path):
+    """ref:runner.py:259-357 shape: loss falls, checkpoints + best-model
+    written, decay-on-plateau reduces lr when forced."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = {
+        k: np.asarray(v, dtype=np.float64)
+        if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+        for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+    }
+    ckpt = str(tmp_path / "ckpt")
+    hist = TR.fit(
+        feats, feats, params, cfg, vocab,
+        optimizer_name="myadagrad", lr=0.3, num_epoch=4,
+        decay_epoch=1, checkpoint_dir=ckpt,
+    )
+    assert len(hist) == 4
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    import os
+
+    assert os.path.exists(os.path.join(ckpt, "best_model.npz"))
+    assert os.path.exists(os.path.join(ckpt, "checkpoint_epoch_4.npz"))
+    # reloading the best checkpoint reproduces a valid parameter set
+    best = W.load_npz(os.path.join(ckpt, "best_model.npz"))
+    assert set(best) == set(params)
+    # overfitting a tiny fixture: dev (=train) F1 should not degrade
+    assert hist[-1]["dev_f1"] >= hist[0]["dev_f1"]
