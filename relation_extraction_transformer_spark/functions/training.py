@@ -59,3 +59,25 @@ def length_sorted(df: DataFrame, tokens_col: str = "masked_tokens",
     if partitions:
         return df.repartitionByRange(partitions, n)
     return df.sortWithinPartitions(n)
+
+
+def word_dropout_tokens(tokens_col, rate: float, seed: int, row_key):
+    """P10 over token STRINGS (pre-vocab form): replace non-UNK tokens by
+    the UNK token with probability ``rate`` — equivalent to the reference's
+    id-level dropout (ref:data/loader.py:328-332) because UNK_TOKEN maps to
+    UNK_ID.  Same deterministic coin as :func:`word_dropout`, so a retried
+    task redrops identically; the training loop passes seed=epoch to
+    resample each epoch like the reference's per-epoch batch rebuild."""
+    return F.transform(
+        tokens_col,
+        lambda x, i: F.when(
+            (x != C.UNK_TOKEN)
+            & (
+                F.pmod(
+                    F.xxhash64(F.lit(seed), row_key, i, x), F.lit(1_000_000)
+                )
+                < int(rate * 1_000_000)
+            ),
+            F.lit(C.UNK_TOKEN),
+        ).otherwise(x),
+    )

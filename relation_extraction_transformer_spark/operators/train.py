@@ -211,6 +211,8 @@ def fit(
     label_col: str = "label_id",
     gold_col: str = "gold_relation",
     bn_mode: str = "eval",
+    word_dropout: float = 0.0,
+    row_key_col: str | None = None,
 ) -> list[dict]:
     """The reference's epoch loop (ref:runner.py:259-357) in Spark form:
     per-epoch synchronous distributed update(s), dev-set predict + micro
@@ -239,10 +241,27 @@ def fit(
     vocab_bc = spark.sparkContext.broadcast(vocab)
 
     for epoch in range(1, num_epoch + 1):
+        epoch_train = train_features
+        if word_dropout > 0.0:
+            # P10, resampled per epoch like the reference's batch rebuild
+            # (ref:data/loader.py:253-257,328-332); deterministic coin
+            from ..functions.training import word_dropout_tokens
+
+            key = (
+                F.col(row_key_col)
+                if row_key_col
+                else F.concat_ws(" ", F.col("masked_tokens"))
+            )
+            epoch_train = train_features.withColumn(
+                "masked_tokens",
+                word_dropout_tokens(
+                    F.col("masked_tokens"), word_dropout, epoch, key
+                ),
+            )
         train_loss = 0.0
         for _ in range(steps_per_epoch):
             train_loss = train_step(
-                train_features, params, cfg, opt, label_col=label_col,
+                epoch_train, params, cfg, opt, label_col=label_col,
                 vocab=vocab, max_grad_norm=max_grad_norm, bn_mode=bn_mode,
             )
 
