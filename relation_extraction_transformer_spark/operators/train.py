@@ -109,6 +109,16 @@ def gradient_rows(
             total[f"__bn_mean__{pre}"] = msum / cnt
             total[f"__bn_var__{pre}"] = vsum / cnt
             total[f"__bn_n__{pre}"] = np.array([cnt], dtype=np.int64)
+        # ship the word-embedding gradient sparse: a partition only touches
+        # the vocab rows its tokens hit, but the dense grad is
+        # vocab_size x emb_dim (132 MB/partition at the reference's 55,950
+        # vocab) — rows-present + compact matrix keeps the driver collect
+        # proportional to actual tokens, the torch sparse-emb-grad analog
+        we = total.pop("word_emb")
+        touched = np.nonzero(np.abs(we).sum(axis=1))[0]
+        total["__word_rows__"] = touched.astype(np.int64)
+        total["__word_vals__"] = we[touched]
+        total["__word_shape__"] = np.array(we.shape, dtype=np.int64)
         yield pd.DataFrame(
             {
                 "n": [n],
@@ -130,11 +140,20 @@ def aggregate_gradients(rows: list) -> tuple[float, dict, dict]:
     bn_n: dict = {}
     loss_sum = 0.0
     weight_sum = 0.0
+    word_dense = None
     for r in rows:
         loss_sum += r.loss_sum
         weight_sum += r.weight_sum
         blob = W.from_bytes(bytes(r.blob))
+        if "__word_rows__" in blob:
+            if word_dense is None:
+                word_dense = np.zeros(
+                    tuple(blob["__word_shape__"]), dtype=np.float64
+                )
+            word_dense[blob["__word_rows__"]] += blob["__word_vals__"]
         for k, v in blob.items():
+            if k.startswith("__word_"):
+                continue
             if not k.startswith("__bn_"):
                 total[k] = total.get(k, 0.0) + v
             elif k.startswith("__bn_n__"):
@@ -151,6 +170,8 @@ def aggregate_gradients(rows: list) -> tuple[float, dict, dict]:
         pre: (msum / cnt, vsum / cnt, cnt)
         for pre, (msum, vsum, cnt) in bn_n.items()
     }
+    if word_dense is not None:
+        total["word_emb"] = word_dense
     grads = {k: v / weight_sum for k, v in total.items()}
     return loss_sum / weight_sum, grads, bn_updates
 
