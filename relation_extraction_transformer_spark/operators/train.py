@@ -131,6 +131,83 @@ def gradient_rows(
     return features.mapInPandas(run, schema=_OUT_SCHEMA)
 
 
+def _merge_blob_into(acc: dict, blob: dict) -> None:
+    """Merge one serialized gradient blob into an accumulator dict that
+    keeps word-emb sparse as {row_index: vector} (``__word_acc__``)."""
+    if "__word_rows__" in blob:
+        wacc = acc.setdefault("__word_acc__", {})
+        for row, vec in zip(blob["__word_rows__"], blob["__word_vals__"]):
+            prev = wacc.get(int(row))
+            wacc[int(row)] = vec if prev is None else prev + vec
+        acc["__word_shape__"] = blob["__word_shape__"]
+    for k, v in blob.items():
+        if k.startswith("__word_"):
+            continue
+        if not k.startswith("__bn_"):
+            acc[k] = acc.get(k, 0.0) + v
+        elif k.startswith("__bn_n__"):
+            pre = k[len("__bn_n__"):]
+            cnt = int(v[0])
+            m0, v0, c0 = acc.setdefault("__bn_acc__", {}).get(pre, (0.0, 0.0, 0))
+            acc["__bn_acc__"][pre] = (
+                m0 + blob[f"__bn_mean__{pre}"] * cnt,
+                v0 + blob[f"__bn_var__{pre}"] * cnt,
+                c0 + cnt,
+            )
+
+
+def _acc_to_blob(acc: dict) -> dict:
+    """Accumulator -> serializable blob (same wire format gradient_rows
+    emits), so merged rows re-merge transparently."""
+    out = {
+        k: v
+        for k, v in acc.items()
+        if k not in ("__word_acc__", "__bn_acc__", "__word_shape__")
+    }
+    if "__word_acc__" in acc:
+        rows = np.array(sorted(acc["__word_acc__"]), dtype=np.int64)
+        out["__word_rows__"] = rows
+        out["__word_vals__"] = np.array(
+            [acc["__word_acc__"][int(r)] for r in rows]
+        )
+        out["__word_shape__"] = acc["__word_shape__"]
+    for pre, (msum, vsum, cnt) in acc.get("__bn_acc__", {}).items():
+        out[f"__bn_mean__{pre}"] = msum / cnt
+        out[f"__bn_var__{pre}"] = vsum / cnt
+        out[f"__bn_n__{pre}"] = np.array([cnt], dtype=np.int64)
+    return out
+
+
+def tree_combine(grad_rows: DataFrame, width: int) -> DataFrame:
+    """Executor-side pre-combine of gradient rows into ``width`` rows —
+    the treeAggregate level that keeps the driver collect O(width) blobs
+    instead of O(partitions) at 1000-executor scale."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        n = 0
+        loss_sum = 0.0
+        weight_sum = 0.0
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                n += int(r["n"])
+                loss_sum += float(r["loss_sum"])
+                weight_sum += float(r["weight_sum"])
+                _merge_blob_into(acc, W.from_bytes(bytes(r["blob"])))
+        if not acc:
+            return
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "loss_sum": [loss_sum],
+                "weight_sum": [weight_sum],
+                "blob": [W.to_bytes(_acc_to_blob(acc))],
+            }
+        )
+
+    return grad_rows.repartition(width).mapInPandas(merge, schema=_OUT_SCHEMA)
+
+
 def aggregate_gradients(rows: list) -> tuple[float, dict, dict]:
     """Driver-side combine of collected gradient rows.
 
@@ -187,18 +264,24 @@ def train_step(
     max_grad_norm: float = 1.0,
     bn_mode: str = "eval",
     word_topn: int | None = None,
+    tree_width: int | None = None,
 ) -> float:
     """One synchronous distributed update (ref:relation_model.py:51-79):
     forward+backward on executors, clip + optimizer step on the driver.
-    Mutates ``params`` in place; returns the mean weighted-CE loss."""
+    Mutates ``params`` in place; returns the mean weighted-CE loss.
+    ``tree_width`` adds an executor-side combine so the driver collects
+    that many gradient blobs instead of one per partition."""
     spark = features.sparkSession
     params_bc = spark.sparkContext.broadcast(params)
     vocab_bc = spark.sparkContext.broadcast(vocab) if vocab is not None else None
     try:
-        rows = gradient_rows(
+        grad_df = gradient_rows(
             features, params_bc, cfg, label_col=label_col, vocab_bc=vocab_bc,
             class_weights=class_weights, bn_mode=bn_mode, word_topn=word_topn,
-        ).collect()
+        )
+        if tree_width is not None:
+            grad_df = tree_combine(grad_df, tree_width)
+        rows = grad_df.collect()
     finally:
         params_bc.unpersist()
     loss, grads, bn_updates = aggregate_gradients(rows)

@@ -355,3 +355,29 @@ def test_fit_epoch_loop(spark, tmp_path):
     assert set(best) == set(params)
     # overfitting a tiny fixture: dev (=train) F1 should not degrade
     assert hist[-1]["dev_f1"] >= hist[0]["dev_f1"]
+
+
+def test_tree_combine_preserves_gradients(spark, tmp_path):
+    """tree_combine (executor-side pre-merge) must yield the same
+    aggregate as collecting every partition row directly."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).repartition(4)
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = W.generate_weights(cfg, vocab_size=len(vocab))
+    pbc = spark.sparkContext.broadcast(params)
+    vbc = spark.sparkContext.broadcast(vocab)
+
+    grad_df = TR.gradient_rows(feats, pbc, cfg, vocab_bc=vbc, bn_mode="eval")
+    direct = TR.aggregate_gradients(grad_df.collect())
+    combined_rows = TR.tree_combine(grad_df, 2).collect()
+    assert len(combined_rows) <= 2
+    combined = TR.aggregate_gradients(combined_rows)
+
+    assert combined[0] == pytest.approx(direct[0], rel=1e-12)
+    for k in KG.trainable_keys(params):
+        np.testing.assert_allclose(
+            combined[1][k], direct[1][k], rtol=1e-12, atol=1e-14, err_msg=k
+        )
