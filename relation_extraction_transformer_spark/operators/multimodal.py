@@ -120,6 +120,99 @@ def extract_media_features(media: DataFrame, batch_dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "resizer string"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms int, frame binary, "
+    "sampler string"
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """Image resize as ONE mapInPandas over binary payloads.
+
+    Tries PIL (absent in this container); the STUB path computes the real
+    target geometry (aspect-preserving clamp to ``max_side``) and passes
+    the payload through unchanged with a deterministic marker — the Spark
+    plumbing (schema, Arrow batching, partition shape) is identical to
+    what a real decoder would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    continue
+                w, h = int(r["width"]), int(r["height"])
+                scale = min(1.0, max_side / max(w, h, 1))
+                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+                payload = bytes(r["payload"])
+                try:
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload)).resize((tw, th))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payload, resizer = buf.getvalue(), "pil"
+                except Exception:
+                    resizer = "stub-passthrough"  # STUB: no codec libs here
+                out_rows.append(
+                    (int(r["media_id"]), r["kind"], payload, tw, th, resizer)
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "resizer",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling as ONE mapInPandas: one output row per sampled
+    timestamp.  The real decoder slot (pyav/ffmpeg) is absent here, so the
+    STUB emits deterministic byte slices of the payload per timestamp —
+    the fan-out shape (rows, timestamps, batch geometry) is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    continue
+                payload = bytes(r["payload"])
+                dur = int(r["duration_ms"])
+                n = min(max_frames, max(1, dur // every_ms))
+                for i in range(n):
+                    ts = i * every_ms
+                    # STUB frame: deterministic slice keyed by frame index
+                    start = (i * 997) % max(1, len(payload) - 16)
+                    frame = payload[start : start + 16]
+                    rows.append(
+                        (int(r["media_id"]), i, ts, frame, "stub-slice")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "frame_ts_ms", "frame",
+                    "sampler",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_dedup_by_content(features: DataFrame) -> DataFrame:
     """Exact content dedup on the sha1 (composes with the text dedup ops)."""
     return (

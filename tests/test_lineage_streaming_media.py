@@ -172,3 +172,38 @@ def test_bucketed_input_partition_pruning(spark, tmp_path):
     t2 = {tuple(x) for x in spark.read.parquet(f"{out2}/triples")
           .select("url", "sent_id", "pair_id", "pred").collect()}
     assert t1 == t2 and r.rows_out == r2.rows_out
+
+
+def test_resize_images_plumbing(spark):
+    from relation_extraction_transformer_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, 30)
+    out = MM.resize_images(media, max_side=64).collect()
+    assert len(out) == sum(1 for r in media.collect() if r.kind == "image")
+    for r in out:
+        assert max(r.width, r.height) <= 64 and min(r.width, r.height) >= 1
+        assert r.resizer in ("pil", "stub-passthrough")
+        assert len(bytes(r.payload)) > 0
+    # deterministic across runs/partitionings
+    out2 = MM.resize_images(media.repartition(7), max_side=64).collect()
+    assert sorted((r.media_id, r.width, r.height) for r in out) == sorted(
+        (r.media_id, r.width, r.height) for r in out2
+    )
+
+
+def test_sample_frames_plumbing(spark):
+    from relation_extraction_transformer_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, 30)
+    frames = MM.sample_frames(media, every_ms=5000, max_frames=4).collect()
+    vids = {r.media_id: r for r in media.collect() if r.kind == "video"}
+    assert {f.media_id for f in frames} == set(vids)
+    by_vid = {}
+    for f in frames:
+        by_vid.setdefault(f.media_id, []).append(f)
+    for mid, fs in by_vid.items():
+        assert len(fs) <= 4
+        assert sorted(f.frame_idx for f in fs) == list(range(len(fs)))
+        for f in fs:
+            assert f.frame_ts_ms == f.frame_idx * 5000
+            assert len(bytes(f.frame)) > 0
