@@ -68,3 +68,93 @@ def dedup_pages_stream(pages_stream: DataFrame) -> DataFrame:
         # ProcessingTimeTimeout sized to the recrawl horizon instead.
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #2: event-time session windows per user
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, closed boolean"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Session assembly with a gap timeout: events extend the open session
+    while they arrive within SESSION_GAP_MS of its end; a larger gap (or a
+    state timeout) closes it and emits the finished session — the
+    applyInPandasWithState twin of the batch ``sessionize_users`` query."""
+    user = key[0]
+    out = []
+    if state.hasTimedOut:
+        start, last, n = state.get
+        out.append((user, start, last, n, True))
+        state.remove()
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events",
+                     "closed"],
+        ).assign(
+            session_start=lambda d: pd.to_datetime(d.session_start, unit="ms"),
+            session_end=lambda d: pd.to_datetime(d.session_end, unit="ms"),
+        )
+        return
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    ts_all = []
+    for pdf in pdfs:
+        ts_all.append((pdf["ts"].astype("int64") // 1_000_000))
+    ts = pd.concat(ts_all).sort_values()
+    for t in ts:
+        t = int(t)
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last <= SESSION_GAP_MS:
+            last, n = max(last, t), n + 1
+        else:
+            out.append((user, start, last, n, True))
+            start, last, n = t, t, 1
+    state.update((start, last, n))
+    try:
+        state.setTimeoutDuration(SESSION_GAP_MS)
+    except Exception:
+        pass  # NoTimeout mode (availableNow catch-up runs)
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events",
+                     "closed"],
+        ).assign(
+            session_start=lambda d: pd.to_datetime(d.session_start, unit="ms"),
+            session_end=lambda d: pd.to_datetime(d.session_end, unit="ms"),
+        )
+
+
+def sessionize_events_stream(
+    events_stream: DataFrame, idle_timeout: bool = True
+) -> DataFrame:
+    """Streaming events -> closed sessions per user (30-minute gap), state
+    keyed by user_id.  ``idle_timeout=True`` closes idle users' open
+    sessions via ProcessingTimeTimeout (the 24/7 deployment mode);
+    ``False`` closes sessions only on gap-exceeding events, which lets
+    availableNow batch-catchup runs terminate (same caveat as
+    :func:`dedup_pages_stream`)."""
+    return events_stream.select("user_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout,
+    )
