@@ -366,6 +366,45 @@ def _media_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_frames_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    frames = MM.sample_frames(spark.read.parquet(MEDIA_PARQUET))
+    return frames.select(
+        "media_id", "frame_idx", "frame_ts_ms",
+        F.md5(F.upper(F.hex(F.col("frame")))).alias("frame_md5"),
+        "sampler",
+    )
+
+
+KG_REGISTRY["media_frames"] = QuerySpec(
+    spark=_media_frames_spark,
+    # the sampler's byte slice [start, start+16) maps to hex chars
+    # [2*start+1 .. 2*start+32] (DuckDB has no BLOB slicing; the hex
+    # string slices byte-aligned), start = (i*997) % max(1, len-16)
+    oracle=f"""
+    WITH m AS (
+      SELECT media_id, upper(hex(payload)) AS hx,
+             GREATEST(1, octet_length(payload) - 16) AS modulus,
+             duration_ms
+      FROM read_parquet('{MEDIA_PARQUET}') WHERE kind = 'video'
+    ),
+    f AS (
+      SELECT media_id, hx, modulus,
+             unnest(range(LEAST(8, GREATEST(1, duration_ms // 1000))))
+               AS frame_idx
+      FROM m
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 1000 AS INT) AS frame_ts_ms,
+           md5(substr(hx, CAST(2 * ((frame_idx * 997) % modulus) + 1 AS INT),
+                      32)) AS frame_md5,
+           'stub-slice' AS sampler
+    FROM f
+    """,
+)
+
+
 KG_REGISTRY["media_meta"] = QuerySpec(
     spark=_media_meta_spark,
     oracle=f"""
