@@ -36,10 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """KG-pipeline operators that stay rows-only (NumPy-in-Arrow inference
-    has no SQL form): their real correctness gate is the NumPy-oracle
-    parity suite in tests/.  The SQL-expressible KG stages (candidates,
-    nodes, edges, media_meta) are oracle-paired in plans/kg_sql.py."""
+    """Rows-only queries: the transformer forward pass (kg_triples) has no
+    SQL form — its correctness gate is the NumPy-oracle parity suite in
+    tests/ — and the training loop (train_loss_curve) is gated by the
+    gradient-check suite.  Everything else, including every media stage,
+    is oracle-paired in plans/kg_sql.py and plans/sql_queries.py."""
     from relation_extraction_transformer_spark.plans import pipeline as PL
     from relation_extraction_transformer_spark.sources import pages as PG
 
@@ -48,31 +49,6 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_triples(spark, sf_dir):
         return PL.triples_plan(_pages(spark), spark, keep_probs=False)
-
-    def media_features(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from relation_extraction_transformer_spark.operators import (
-            multimodal as MM,
-        )
-
-        feats = MM.extract_media_features(MM.synthetic_media(spark, 200))
-        # driver-contract shape: rows-only results must be sortable scalars
-        # (the canonicalizer lexsorts every column), so the feature vector
-        # is digested; the array-returning operator stays for pipeline use
-        return feats.select(
-            "media_id", "kind", "n_bytes", "sha1",
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        "features",
-                        lambda x: F.round(x.cast("double"), 6).cast("string"),
-                    ),
-                )
-            ).alias("features_digest"),
-            "decoder",
-        )
 
     def train_loss_curve(spark, sf_dir):
         """Distributed training step (operators/train.py): 3 synchronous
@@ -121,7 +97,6 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "kg_triples": kg_triples,
-        "media_features": media_features,
         "train_loss_curve": train_loss_curve,
     }
 

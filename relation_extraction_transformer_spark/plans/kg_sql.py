@@ -366,6 +366,64 @@ def _media_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_media_features(spark.read.parquet(MEDIA_PARQUET))
+    # digest the float32 feature vector as exact integers (x * 1e6,
+    # half-even) — float-to-string formatting differs across engines,
+    # integer strings do not
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "features",
+                    lambda x: F.bround(x.cast("double") * 1000000)
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+            )
+        ).alias("features_digest"),
+        "decoder",
+    )
+
+
+_HEX_DIGITS = "0123456789ABCDEF"
+
+KG_REGISTRY["media_features"] = QuerySpec(
+    spark=_media_features_spark,
+    # the stub extractor's bucket b counts bytes with high nibble b
+    # (256-bin histogram reshaped 16x16 and row-summed), i.e. occurrences
+    # of hex digit b at odd positions of the payload's hex string; the
+    # float32 division cnt/len is reproduced with REAL/REAL arithmetic
+    oracle=f"""
+    WITH m AS (
+      SELECT media_id, kind, payload, upper(hex(payload)) AS hx,
+             octet_length(payload) AS n_bytes
+      FROM read_parquet('{MEDIA_PARQUET}')
+    ),
+    feat AS (
+      SELECT media_id, kind, n_bytes,
+             list_transform(range(16), b ->
+               CAST(ROUND(CAST(
+                 CAST(len(list_filter(range(n_bytes),
+                   i -> substr(hx, CAST(2*i+1 AS INT), 1)
+                        = substr('{_HEX_DIGITS}', CAST(b+1 AS INT), 1)))
+                   AS REAL)
+                 / CAST(GREATEST(n_bytes, 1) AS REAL)
+               AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      FROM m
+    )
+    SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+           md5(array_to_string(q, ',')) AS features_digest,
+           'stub-histogram' AS decoder
+    FROM feat
+    """,
+)
+
+
 def _media_frames_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
