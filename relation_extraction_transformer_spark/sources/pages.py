@@ -100,11 +100,18 @@ def write_pages(df: DataFrame, path: str, partition_by_lang: bool = True) -> Non
 def extract_text(pages: DataFrame) -> DataFrame:
     """Byte-identical text extraction per url (north-rule invariant).
 
-    JVM-side: decode + anchored regexp body extraction; no Python.  On
-    this controlled HTML shape the extraction is exact; real-world HTML
-    would swap in a pandas-UDF extractor behind the same column contract.
+    JVM-side: lenient byte decode + anchored regexp body extraction; no
+    Python.  ``cast(binary AS string)`` instead of ``decode(_, 'UTF-8')``
+    because ANSI decode ABORTS THE WHOLE JOB on one invalid byte sequence
+    ([MALFORMED_CHARACTER_CODING]) — at 10^12 crawled pages malformed
+    bytes are guaranteed; the cast wraps bytes without validating, still
+    byte-identical on valid UTF-8 (tests/test_end_to_end.py) and
+    extraction-correct even when garbage precedes the body
+    (tests/test_robustness.py).  On this controlled HTML shape the
+    extraction is exact; real-world HTML would swap in a pandas-UDF
+    extractor behind the same column contract.
     """
     body = F.regexp_extract(
-        F.decode(F.col("html"), "UTF-8"), "<p>(.*)</p>", 1
+        F.col("html").cast("string"), "<p>(.*)</p>", 1
     )
     return pages.withColumn("extracted_text", body)
