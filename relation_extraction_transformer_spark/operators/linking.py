@@ -82,9 +82,23 @@ def link_surface(
     order IS the scoring order (alias_rank, type_match, entity_id).  The
     round-1 version windowed over every fact column — a full wide-key
     shuffle at scale; this plan has zero Exchange on the fact table."""
-    dict_agg = dictionary.groupBy("alias_norm").agg(
+    # provable bound on the per-alias candidate array: for every
+    # (alias, rank, type) only the LOWEST entity_id can ever win the
+    # argmin (scoring = rank, then type-match, then entity_id; min over a
+    # union = min over per-type minima), so the array is at most
+    # n_ranks x n_types long even if one alias maps to millions of
+    # entities at web scale
+    reduced = dictionary.groupBy("alias_norm", "alias_rank", "ner_type").agg(
+        F.min(F.struct("entity_id", "canonical_name")).alias("__best")
+    )
+    dict_agg = reduced.groupBy("alias_norm").agg(
         F.collect_list(
-            F.struct("alias_rank", "ner_type", "entity_id", "canonical_name")
+            F.struct(
+                "alias_rank",
+                "ner_type",
+                F.col("__best")["entity_id"].alias("entity_id"),
+                F.col("__best")["canonical_name"].alias("canonical_name"),
+            )
         ).alias("__cands")
     )
     joined = df.withColumn(

@@ -90,3 +90,35 @@ def test_build_graph_end_to_end(spark):
         assert r.src in node_ids and r.dst in node_ids
     # weights aggregate multiple evidence rows
     assert edges.agg(F.max("weight")).first()[0] >= 1
+
+
+def test_linking_dictionary_reduction_preserves_argmin(spark):
+    """The per-(alias, rank, type) min-entity reduction must not change
+    any link: verify against a brute-force pandas argmin over the FULL
+    unreduced dictionary."""
+    import pandas as pd
+
+    dictionary = LINK.entity_dictionary(spark)
+    full = dictionary.toPandas()
+    df = spark.createDataFrame(
+        [(s, t) for s in ("Alice Turner", "turner", "Acme Corp", "Paris",
+                          "hassan", "1990", "Nobody Here")
+         for t in ("PERSON", "ORGANIZATION", "CITY", "DATE")],
+        "subj: string, subj_type: string",
+    ).withColumn("obj", F.lit("x")).withColumn("obj_type", F.lit("CITY"))
+    linked = {(r.subj, r.subj_type): (r.subj_entity_id, r.subj_canonical)
+              for r in LINK.link_triples(df, dictionary).collect()}
+
+    for (surface, typ), (got_id, got_canon) in linked.items():
+        norm = " ".join(surface.strip().lower().split())
+        cands = full[full.alias_norm == norm]
+        if len(cands) == 0:
+            assert got_canon == surface
+            continue
+        best = min(
+            cands.itertuples(),
+            key=lambda c: (c.alias_rank, 0 if c.ner_type == typ else 1,
+                           c.entity_id),
+        )
+        assert got_id == best.entity_id, (surface, typ)
+        assert got_canon == best.canonical_name, (surface, typ)
