@@ -337,14 +337,42 @@ def fit(
     from . import inference as INF
     from . import scorer as SC
 
+    import pickle
+
     spark = train_features.sparkSession
     opt = OPT.get_optimizer(optimizer_name, lr)
     current_lr = lr
     dev_f1_history: list = []
     history: list[dict] = []
+    first_epoch = 1
+
+    # checkpoint-resume (the training twin of the pipeline's resumable
+    # materialization): trainer_state.pkl carries epoch, lr, optimizer
+    # state and the dev-F1 history; params come from the epoch checkpoint
+    state_path = (
+        os.path.join(checkpoint_dir, "trainer_state.pkl")
+        if checkpoint_dir
+        else None
+    )
+    if state_path and os.path.exists(state_path):
+        with open(state_path, "rb") as f:
+            st = pickle.load(f)
+        first_epoch = st["epoch"] + 1
+        current_lr = st["lr"]
+        dev_f1_history = st["dev_f1_history"]
+        history = st["history"]
+        opt.state = st["opt_state"]
+        opt.step_count = st["opt_step_count"]
+        opt.set_lr(current_lr)
+        ckpt = os.path.join(
+            checkpoint_dir, f"checkpoint_epoch_{st['epoch']}.npz"
+        )
+        params.clear()
+        params.update(W.load_npz(ckpt))
+
     vocab_bc = spark.sparkContext.broadcast(vocab)
 
-    for epoch in range(1, num_epoch + 1):
+    for epoch in range(first_epoch, num_epoch + 1):
         epoch_train = train_features
         if word_dropout > 0.0:
             # P10, resampled per epoch like the reference's batch rebuild
@@ -384,7 +412,7 @@ def fit(
             os.makedirs(checkpoint_dir, exist_ok=True)
             ckpt = os.path.join(checkpoint_dir, f"checkpoint_epoch_{epoch}.npz")
             W.save_npz(params, ckpt)
-            if epoch == 1 or dev_f1 > max(dev_f1_history):
+            if not dev_f1_history or dev_f1 > max(dev_f1_history):
                 import shutil
 
                 shutil.copyfile(
@@ -400,4 +428,13 @@ def fit(
             dict(epoch=epoch, train_loss=train_loss, dev_f1=dev_f1,
                  lr=current_lr)
         )
+        if state_path:
+            with open(state_path, "wb") as f:
+                pickle.dump(
+                    dict(epoch=epoch, lr=current_lr,
+                         dev_f1_history=dev_f1_history, history=history,
+                         opt_state=opt.state,
+                         opt_step_count=opt.step_count),
+                    f,
+                )
     return history

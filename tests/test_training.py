@@ -381,3 +381,41 @@ def test_tree_combine_preserves_gradients(spark, tmp_path):
         np.testing.assert_allclose(
             combined[1][k], direct[1][k], rtol=1e-12, atol=1e-14, err_msg=k
         )
+
+
+def test_fit_resumes_from_checkpoint(spark, tmp_path):
+    """Killing training after epoch 2 and re-running fit with the same
+    checkpoint dir must continue at epoch 3 with optimizer state intact
+    and match an uninterrupted 4-epoch run."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+
+    def fresh_params():
+        return {
+            k: np.asarray(v, dtype=np.float64)
+            if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+            for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+        }
+
+    direct = TR.fit(
+        feats, feats, fresh_params(), cfg, vocab,
+        optimizer_name="myadagrad", lr=0.3, num_epoch=4,
+        checkpoint_dir=str(tmp_path / "direct"),
+    )
+
+    ck = str(tmp_path / "resumable")
+    TR.fit(feats, feats, fresh_params(), cfg, vocab,
+           optimizer_name="myadagrad", lr=0.3, num_epoch=2,
+           checkpoint_dir=ck)
+    resumed = TR.fit(feats, feats, fresh_params(), cfg, vocab,
+                     optimizer_name="myadagrad", lr=0.3, num_epoch=4,
+                     checkpoint_dir=ck)
+
+    assert [h["epoch"] for h in resumed] == [1, 2, 3, 4]
+    for a, b in zip(direct, resumed):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-6)
+        assert a["dev_f1"] == pytest.approx(b["dev_f1"], abs=1e-9)
