@@ -28,22 +28,25 @@ from . import inference as INF
 KEY = ["url", "sent_id", "pair_id"]
 
 
-def majority_vote(predictions: list[DataFrame]) -> DataFrame:
-    """k prediction DataFrames (KEY + pred columns) -> one voted
-    prediction per key."""
+def majority_vote(
+    predictions: list[DataFrame], key: list[str] | None = None
+) -> DataFrame:
+    """k prediction DataFrames (key + pred columns) -> one voted
+    prediction per key (default key: the KG pipeline's url/sent/pair)."""
+    key = list(key) if key is not None else KEY
     tagged = [
-        df.select(*KEY, "pred").withColumn("model", F.lit(i))
+        df.select(*key, "pred").withColumn("model", F.lit(i))
         for i, df in enumerate(predictions)
     ]
     all_preds = reduce(lambda a, b: a.unionByName(b), tagged)
-    counted = all_preds.groupBy(*KEY, "pred").agg(
+    counted = all_preds.groupBy(*key, "pred").agg(
         F.count(F.lit(1)).alias("votes")
     )
-    w = Window.partitionBy(*KEY).orderBy(F.desc("votes"), F.asc("pred"))
+    w = Window.partitionBy(*key).orderBy(F.desc("votes"), F.asc("pred"))
     return (
         counted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(*KEY, F.col("pred").alias("voted_pred"))
+        .select(*key, F.col("pred").alias("voted_pred"))
     )
 
 

@@ -419,3 +419,55 @@ def test_fit_resumes_from_checkpoint(spark, tmp_path):
     for a, b in zip(direct, resumed):
         assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-6)
         assert a["dev_f1"] == pytest.approx(b["dev_f1"], abs=1e-9)
+
+
+def test_trained_ensemble_majority_vote(spark, tmp_path):
+    """ref:ensemble.sh end-to-end with actually TRAINED models: k
+    differently-initialized models fine-tuned with fit(), then the
+    ensemble vote over their predictions (key = example_id)."""
+    from relation_extraction_transformer_spark.functions.masking import (
+        id_to_label,
+    )
+    from relation_extraction_transformer_spark.operators import (
+        ensemble as EN,
+    )
+    from relation_extraction_transformer_spark.operators import (
+        inference as INF,
+    )
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    vocab_bc = spark.sparkContext.broadcast(vocab)
+
+    preds = []
+    for seed in (1234, 99):
+        cfg = ModelConfig(vocab_size=len(vocab), seed=seed)
+        params = {
+            k: np.asarray(v, dtype=np.float64)
+            if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+            for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+        }
+        TR.fit(feats, feats, params, cfg, vocab,
+               optimizer_name="myadagrad", lr=0.3, num_epoch=2)
+        pb = spark.sparkContext.broadcast(params)
+        preds.append(
+            INF.predict_relations(feats, pb, cfg, vocab_bc=vocab_bc,
+                                  keep_probs=False)
+        )
+
+    voted = EN.majority_vote(preds, key=["example_id"])
+    got = {r.example_id: r.voted_pred for r in voted.collect()}
+    assert len(got) == len(rows)
+    # each vote must be one of the member models' predictions for that key
+    members = {}
+    for p in preds:
+        for r in p.select("example_id", "pred").collect():
+            members.setdefault(r.example_id, set()).add(r.pred)
+    for k, v in got.items():
+        assert v in members[k]
+    # deterministic on re-vote
+    got2 = {r.example_id: r.voted_pred
+            for r in EN.majority_vote(preds, key=["example_id"]).collect()}
+    assert got == got2
