@@ -20,6 +20,11 @@ cited throughout as ``ref:<file>:<lines>``) as an idiomatic Spark pipeline:
 
 Everything is DataFrame-first: Catalyst handles pushdown/pruning/broadcasts;
 the only Python on the hot path is Arrow-batched NumPy.
+
+The training loop is covered too: ``kernel_grad`` (gradient-checked
+analytic backward), ``optim`` (torch-semantics optimizer zoo), and
+``operators.train`` (synchronous data-parallel ``train_step`` / ``fit``
+with checkpoints and resume).
 """
 
 __version__ = "0.1.0"

@@ -80,3 +80,14 @@ def test_inference_input_scan_prunes_probs(spark):
     pages = spark.read.parquet(PAGES)
     t = PL.triples_plan(pages, spark, keep_probs=False)
     assert "probs" not in t.columns
+
+
+def test_ann_ivf_broadcasts_centroids(spark):
+    """IVF cell assignment must broadcast the tiny centroid table, never
+    shuffle the candidate side for it."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["ann_ivf_topk"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
