@@ -284,6 +284,11 @@ def train_step(
         rows = grad_df.collect()
     finally:
         params_bc.unpersist()
+    if not rows:
+        raise ValueError(
+            "train_step: no usable training rows (empty input, or every "
+            "sentence outside [1, ABS_MAX_LEN])"
+        )
     loss, grads, bn_updates = aggregate_gradients(rows)
     OPT.clip_grad_norm(grads, max_grad_norm)
     optimizer.step(params, grads)

@@ -1712,3 +1712,50 @@ register(
     ) WHERE rank <= {_TOP_K}
     """,
 )(_spark_ann_ivf)
+
+
+def _spark_rare_token_ratio(spark, sf):
+    # corpus-level token frequencies (one partial-agg groupBy), broadcast
+    # back onto the exploded tokens, exact-integer ratio per doc — the
+    # frequency-based quality filter of LLM data pipelines with no
+    # cross-engine float risk (ints + one correctly-rounded division)
+    toks = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("corpus_cnt"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("corpus_cnt") <= 2, 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_rare",
+            F.round(
+                F.col("n_rare").cast("double") / F.col("n_tokens"), 6
+            ).alias("rare_ratio"),
+        )
+    )
+
+
+register(
+    "rare_token_ratio",  # corpus-frequency quality filter (LLM-pipeline op)
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS corpus_cnt FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(SUM(CASE WHEN f.corpus_cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           ROUND(CAST(SUM(CASE WHEN f.corpus_cnt <= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS rare_ratio
+    FROM toks t JOIN freq f ON f.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+)(_spark_rare_token_ratio)
