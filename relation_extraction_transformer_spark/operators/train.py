@@ -124,7 +124,7 @@ def gradient_rows(
                 "n": [n],
                 "loss_sum": [loss_sum],
                 "weight_sum": [weight_sum],
-                "blob": [W.to_bytes(total)],
+                "blob": [W.to_bytes_fast(total)],
             }
         )
 
@@ -201,7 +201,7 @@ def tree_combine(grad_rows: DataFrame, width: int) -> DataFrame:
                 "n": [n],
                 "loss_sum": [loss_sum],
                 "weight_sum": [weight_sum],
-                "blob": [W.to_bytes(_acc_to_blob(acc))],
+                "blob": [W.to_bytes_fast(_acc_to_blob(acc))],
             }
         )
 

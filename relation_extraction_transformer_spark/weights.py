@@ -139,3 +139,12 @@ def to_bytes(params: Params) -> bytes:
 def from_bytes(blob: bytes) -> Params:
     with np.load(io.BytesIO(blob)) as z:
         return {k: z[k] for k in z.files}
+
+
+def to_bytes_fast(params: Params) -> bytes:
+    """Uncompressed npz — for per-step gradient shipping, where zlib on
+    megabytes per partition per step costs more than the extra I/O
+    (weights persisted to disk keep the compressed form)."""
+    buf = io.BytesIO()
+    np.savez(buf, **params)
+    return buf.getvalue()
