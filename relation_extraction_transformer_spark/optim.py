@@ -204,6 +204,70 @@ class ASGD(Optimizer):
             self.state[k] = (eta, mu, ax)
 
 
+def warmup_cosine(x: float, warmup: float = 0.002) -> float:
+    """ref:utils/opt.py:6-8."""
+    import math
+
+    if x <= warmup:
+        return x / warmup
+    return 0.5 * (1 + math.cos(math.pi * x))
+
+
+def warmup_constant(x: float, warmup: float = 0.002) -> float:
+    """ref:utils/opt.py:10-12."""
+    return x / warmup if x <= warmup else 1.0
+
+
+def warmup_linear(x: float, warmup: float = 0.002) -> float:
+    """ref:utils/opt.py:14-16."""
+    return (x / warmup if x <= warmup else 1.0) * (1 - x)
+
+
+SCHEDULES = {
+    "warmup_cosine": warmup_cosine,
+    "warmup_constant": warmup_constant,
+    "warmup_linear": warmup_linear,
+}
+
+
+class OpenAIAdam(Optimizer):
+    """ref:utils/opt.py:25-107 (huggingface openai-transformer-lm Adam
+    with the decoupled-weight-decay fix): per-step scheduled lr,
+    step_size = lr_sched * sqrt(bc2)/bc1, decay applied to matrices (and
+    vectors when vector_l2) AFTER the adam update.  Reference defaults
+    from ref:torch_utils.py:257-271."""
+
+    def __init__(self, lr: float = 6.25e-5, schedule: str = "warmup_linear",
+                 warmup: float = 0.002, t_total: int = 3,
+                 betas: tuple = (0.9, 0.999), eps: float = 1e-8,
+                 l2: float = 0.01, vector_l2: bool = True):
+        super().__init__(lr)
+        self.schedule = SCHEDULES[schedule]
+        self.warmup = warmup
+        self.t_total = t_total
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.l2 = l2
+        self.vector_l2 = vector_l2
+
+    def step(self, params: Params, grads: Grads) -> None:
+        self.step_count += 1
+        t = self.step_count
+        lr_sched = self.lr * self.schedule(t / self.t_total, self.warmup)
+        step_size = (
+            lr_sched * (1 - self.b2 ** t) ** 0.5 / (1 - self.b1 ** t)
+        )
+        for k in trainable_keys(params):
+            g = grads[k]
+            m, v = self.state.get(k, (0.0, 0.0))
+            m = self.b1 * m + (1 - self.b1) * g
+            v = self.b2 * v + (1 - self.b2) * g * g
+            self.state[k] = (m, v)
+            params[k] = params[k] - step_size * m / (np.sqrt(v) + self.eps)
+            if (params[k].ndim > 1 or self.vector_l2) and self.l2 > 0:
+                params[k] = params[k] - lr_sched * self.l2 * params[k]
+
+
 def noam_rate(step: int, model_size: int = 360, factor: float = 1.0,
               warmup: int = 200) -> float:
     """ref:utils/torch_utils.py:231-238 (NoamOpt.rate)."""
@@ -236,4 +300,8 @@ def get_optimizer(name: str, lr: float) -> Optimizer:
         return NAdam(lr)
     if name == "asgd":
         return ASGD(lr)
+    if name == "openai_adam":
+        # reference hardcodes these regardless of --lr
+        # (ref:torch_utils.py:257-271); t_total=3 is the reference's value
+        return OpenAIAdam()
     raise ValueError(f"Unsupported optimizer: {name}")

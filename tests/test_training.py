@@ -471,3 +471,33 @@ def test_trained_ensemble_majority_vote(spark, tmp_path):
     got2 = {r.example_id: r.voted_pred
             for r in EN.majority_vote(preds, key=["example_id"]).collect()}
     assert got == got2
+
+
+def test_openai_adam_matches_reference_math():
+    """ref:utils/opt.py:48-107 one hand-computed step (matrix + vector
+    param; vector_l2=True so both decay)."""
+    import math
+
+    p = {"m_w": np.array([[1.0, 2.0]]), "v_b": np.array([0.5])}
+    opt = OPT.OpenAIAdam(lr=0.1, schedule="warmup_linear", warmup=0.5,
+                         t_total=2, l2=0.01, vector_l2=True)
+    g = {"m_w": np.array([[1.0, -1.0]]), "v_b": np.array([2.0])}
+    opt.step(p, g)
+    x = 1 / 2  # step/t_total
+    lr_sched = 0.1 * (x / 0.5) * (1 - x)  # warmup_linear at boundary
+    bc1, bc2 = 1 - 0.9, 1 - 0.999
+    step_size = lr_sched * math.sqrt(bc2) / bc1
+    for k, g0, p0 in (("m_w", g["m_w"], np.array([[1.0, 2.0]])),
+                      ("v_b", g["v_b"], np.array([0.5]))):
+        m = 0.1 * g0
+        v = 0.001 * g0 * g0
+        expect = p0 - step_size * m / (np.sqrt(v) + 1e-8)
+        expect = expect - lr_sched * 0.01 * expect
+        np.testing.assert_allclose(p[k], expect, err_msg=k)
+
+
+def test_schedule_shapes():
+    assert OPT.warmup_constant(0.001) == pytest.approx(0.5)
+    assert OPT.warmup_constant(0.5) == 1.0
+    assert OPT.warmup_linear(0.5) == pytest.approx(0.5)
+    assert OPT.warmup_cosine(1.0) == pytest.approx(0.0)
