@@ -264,13 +264,19 @@ def train_step(
     max_grad_norm: float = 1.0,
     bn_mode: str = "eval",
     word_topn: int | None = None,
-    tree_width: int | None = None,
+    tree_width: int | None = "auto",
 ) -> float:
     """One synchronous distributed update (ref:relation_model.py:51-79):
     forward+backward on executors, clip + optimizer step on the driver.
     Mutates ``params`` in place; returns the mean weighted-CE loss.
+
     ``tree_width`` adds an executor-side combine so the driver collects
-    that many gradient blobs instead of one per partition."""
+    that many gradient blobs instead of one per partition — without it
+    the driver's blob ingest IS the wall once partitions x model size is
+    large (measured: 32 partitions x ~35 MB fp64 blobs held a 32-core
+    step to 721 ex/s; tree_width=4 released it to 1,994 ex/s — BENCH.md).
+    "auto" (default) combines down to 4 whenever the input has more than
+    8 partitions; None disables."""
     spark = features.sparkSession
     params_bc = spark.sparkContext.broadcast(params)
     vocab_bc = spark.sparkContext.broadcast(vocab) if vocab is not None else None
@@ -279,6 +285,9 @@ def train_step(
             features, params_bc, cfg, label_col=label_col, vocab_bc=vocab_bc,
             class_weights=class_weights, bn_mode=bn_mode, word_topn=word_topn,
         )
+        if tree_width == "auto":
+            n_parts = features.rdd.getNumPartitions()
+            tree_width = 4 if n_parts > 8 else None
         if tree_width is not None:
             grad_df = tree_combine(grad_df, tree_width)
         rows = grad_df.collect()
