@@ -53,14 +53,21 @@ def gradient_rows(
     class_weights: np.ndarray | None = None,
     bn_mode: str = "eval",
     word_topn: int | None = None,
+    dtype: str = "float64",
 ) -> DataFrame:
-    """features (+ int label column) -> one gradient row per partition."""
+    """features (+ int label column) -> one gradient row per partition.
+
+    ``dtype="float32"`` runs forward+backward and ships gradients in fp32
+    (the reference trains fp32 torch) — half the GEMM and blob traffic;
+    fp64 stays the default because the finite-difference gradient gate
+    and the distributed==local parity pin exactness there."""
     has_word_ids = "word_ids" in features.columns
+    np_dtype = np.dtype(dtype)
     cw = None if class_weights is None else np.asarray(class_weights, dtype=np.float64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         params = {
-            k: np.asarray(v, dtype=np.float64)
+            k: np.asarray(v, dtype=np_dtype)
             if np.issubdtype(np.asarray(v).dtype, np.floating) else v
             for k, v in params_bc.value.items()
         }
@@ -265,6 +272,7 @@ def train_step(
     bn_mode: str = "eval",
     word_topn: int | None = None,
     tree_width: int | None = "auto",
+    dtype: str = "float64",
 ) -> float:
     """One synchronous distributed update (ref:relation_model.py:51-79):
     forward+backward on executors, clip + optimizer step on the driver.
@@ -284,6 +292,7 @@ def train_step(
         grad_df = gradient_rows(
             features, params_bc, cfg, label_col=label_col, vocab_bc=vocab_bc,
             class_weights=class_weights, bn_mode=bn_mode, word_topn=word_topn,
+            dtype=dtype,
         )
         if tree_width == "auto":
             n_parts = features.rdd.getNumPartitions()

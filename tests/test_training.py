@@ -501,3 +501,23 @@ def test_schedule_shapes():
     assert OPT.warmup_constant(0.5) == 1.0
     assert OPT.warmup_linear(0.5) == pytest.approx(0.5)
     assert OPT.warmup_cosine(1.0) == pytest.approx(0.0)
+
+
+def test_train_step_float32_decreases_loss(spark, tmp_path):
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = {
+        k: np.asarray(v, dtype=np.float64)
+        if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+        for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+    }
+    opt = OPT.get_optimizer("myadagrad", lr=0.3)
+    losses = [
+        TR.train_step(feats, params, cfg, opt, vocab=vocab, dtype="float32")
+        for _ in range(4)
+    ]
+    assert losses[-1] < losses[0], losses
