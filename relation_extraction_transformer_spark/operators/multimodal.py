@@ -145,13 +145,21 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image":
+            # column-wise zip, not iterrows: the codec call is per-item
+            # Python either way, but the bookkeeping shouldn't be
+            for media_id, kind, w, h, raw in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["width"].to_numpy(),
+                pdf["height"].to_numpy(),
+                pdf["payload"],
+            ):
+                if kind != "image":
                     continue
-                w, h = int(r["width"]), int(r["height"])
+                w, h = int(w), int(h)
                 scale = min(1.0, max_side / max(w, h, 1))
                 tw, th = max(1, int(w * scale)), max(1, int(h * scale))
-                payload = bytes(r["payload"])
+                payload = bytes(raw)
                 try:
                     import io
 
@@ -164,7 +172,7 @@ def resize_images(
                 except Exception:
                     resizer = "stub-passthrough"  # STUB: no codec libs here
                 out_rows.append(
-                    (int(r["media_id"]), r["kind"], payload, tw, th, resizer)
+                    (int(media_id), kind, payload, tw, th, resizer)
                 )
             yield pd.DataFrame(
                 out_rows,
@@ -188,19 +196,23 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video":
+            for media_id, kind, raw, dur in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["payload"],
+                pdf["duration_ms"].to_numpy(),
+            ):
+                if kind != "video":
                     continue
-                payload = bytes(r["payload"])
-                dur = int(r["duration_ms"])
-                n = min(max_frames, max(1, dur // every_ms))
+                payload = bytes(raw)
+                n = min(max_frames, max(1, int(dur) // every_ms))
                 for i in range(n):
                     ts = i * every_ms
                     # STUB frame: deterministic slice keyed by frame index
                     start = (i * 997) % max(1, len(payload) - 16)
                     frame = payload[start : start + 16]
                     rows.append(
-                        (int(r["media_id"]), i, ts, frame, "stub-slice")
+                        (int(media_id), i, ts, frame, "stub-slice")
                     )
             yield pd.DataFrame(
                 rows,

@@ -196,11 +196,16 @@ def tree_combine(grad_rows: DataFrame, width: int) -> DataFrame:
         loss_sum = 0.0
         weight_sum = 0.0
         for pdf in batches:
-            for _, r in pdf.iterrows():
-                n += int(r["n"])
-                loss_sum += float(r["loss_sum"])
-                weight_sum += float(r["weight_sum"])
-                _merge_blob_into(acc, W.from_bytes(bytes(r["blob"])))
+            for n_i, ls_i, ws_i, blob_i in zip(
+                pdf["n"].to_numpy(),
+                pdf["loss_sum"].to_numpy(),
+                pdf["weight_sum"].to_numpy(),
+                pdf["blob"],
+            ):
+                n += int(n_i)
+                loss_sum += float(ls_i)
+                weight_sum += float(ws_i)
+                _merge_blob_into(acc, W.from_bytes(bytes(blob_i)))
         if not acc:
             return
         yield pd.DataFrame(
@@ -315,6 +320,39 @@ def train_step(
     return loss
 
 
+def epoch_training_features(
+    train_features: DataFrame,
+    word_dropout: float,
+    epoch: int,
+    row_key_col: str | None = None,
+) -> DataFrame:
+    """Per-epoch training view: word dropout (P10) resampled per epoch
+    like the reference's batch rebuild (ref:data/loader.py:253-257,
+    328-332), with a deterministic per-(row, epoch) coin.  Any precomputed
+    ``word_ids`` column is dropped so ids are re-derived from the dropped
+    tokens inside gradient_rows — otherwise dropout would be a silent
+    no-op for features that carry word_ids."""
+    if word_dropout <= 0.0:
+        return train_features
+
+    from pyspark.sql import functions as F
+
+    from ..functions.training import word_dropout_tokens
+
+    key = (
+        F.col(row_key_col)
+        if row_key_col
+        else F.concat_ws(" ", F.col("masked_tokens"))
+    )
+    out = train_features.withColumn(
+        "masked_tokens",
+        word_dropout_tokens(F.col("masked_tokens"), word_dropout, epoch, key),
+    )
+    if "word_ids" in out.columns:
+        out = out.drop("word_ids")
+    return out
+
+
 def should_decay_lr(dev_f1_history: list, dev_f1: float, decay_epoch: int) -> bool:
     """ref:runner.py:341-343: decay once the history is longer than
     decay_epoch AND this epoch's dev F1 did not improve on the last."""
@@ -340,6 +378,9 @@ def fit(
     bn_mode: str = "eval",
     word_dropout: float = 0.0,
     row_key_col: str | None = None,
+    word_topn: int | None = None,
+    class_weights: np.ndarray | None = None,
+    dtype: str = "float64",
 ) -> list[dict]:
     """The reference's epoch loop (ref:runner.py:259-357) in Spark form:
     per-epoch synchronous distributed update(s), dev-set predict + micro
@@ -351,7 +392,12 @@ def fit(
     The reference runs one torch ``update()`` per 50-row batch; the
     distributed equivalent is a synchronous full-data gradient step
     (``steps_per_epoch`` of them per epoch) — same gradient direction,
-    cluster-sized batch."""
+    cluster-sized batch.
+
+    ``word_topn`` is the reference's ``--topn`` (ref:runner.py topn /
+    keep_partial_grad): only the top-n word-embedding rows receive
+    gradient updates; ``class_weights`` / ``dtype`` pass straight through
+    to :func:`train_step`."""
     import os
 
     from pyspark.sql import functions as F
@@ -396,28 +442,16 @@ def fit(
     vocab_bc = spark.sparkContext.broadcast(vocab)
 
     for epoch in range(first_epoch, num_epoch + 1):
-        epoch_train = train_features
-        if word_dropout > 0.0:
-            # P10, resampled per epoch like the reference's batch rebuild
-            # (ref:data/loader.py:253-257,328-332); deterministic coin
-            from ..functions.training import word_dropout_tokens
-
-            key = (
-                F.col(row_key_col)
-                if row_key_col
-                else F.concat_ws(" ", F.col("masked_tokens"))
-            )
-            epoch_train = train_features.withColumn(
-                "masked_tokens",
-                word_dropout_tokens(
-                    F.col("masked_tokens"), word_dropout, epoch, key
-                ),
-            )
+        epoch_train = epoch_training_features(
+            train_features, word_dropout, epoch, row_key_col
+        )
         train_loss = 0.0
         for _ in range(steps_per_epoch):
             train_loss = train_step(
                 epoch_train, params, cfg, opt, label_col=label_col,
                 vocab=vocab, max_grad_norm=max_grad_norm, bn_mode=bn_mode,
+                word_topn=word_topn, class_weights=class_weights,
+                dtype=dtype,
             )
 
         params_bc = spark.sparkContext.broadcast(params)

@@ -235,12 +235,18 @@ class OpenAIAdam(Optimizer):
     with the decoupled-weight-decay fix): per-step scheduled lr,
     step_size = lr_sched * sqrt(bc2)/bc1, decay applied to matrices (and
     vectors when vector_l2) AFTER the adam update.  Reference defaults
-    from ref:torch_utils.py:257-271."""
+    from ref:torch_utils.py:257-271, including ``max_grad_norm=1``: the
+    reference clips EACH parameter's gradient to norm 1 inside step()
+    (ref:utils/opt.py:82-84, torch ``clip_grad_norm_`` semantics: scale by
+    max_norm / (norm + 1e-6) only when that factor < 1) before the moment
+    update — train_step's global-norm clip is not equivalent, so it is
+    reproduced here per parameter."""
 
     def __init__(self, lr: float = 6.25e-5, schedule: str = "warmup_linear",
                  warmup: float = 0.002, t_total: int = 3,
                  betas: tuple = (0.9, 0.999), eps: float = 1e-8,
-                 l2: float = 0.01, vector_l2: bool = True):
+                 l2: float = 0.01, vector_l2: bool = True,
+                 max_grad_norm: float = 1.0):
         super().__init__(lr)
         self.schedule = SCHEDULES[schedule]
         self.warmup = warmup
@@ -249,6 +255,7 @@ class OpenAIAdam(Optimizer):
         self.eps = eps
         self.l2 = l2
         self.vector_l2 = vector_l2
+        self.max_grad_norm = max_grad_norm
 
     def step(self, params: Params, grads: Grads) -> None:
         self.step_count += 1
@@ -259,6 +266,10 @@ class OpenAIAdam(Optimizer):
         )
         for k in trainable_keys(params):
             g = grads[k]
+            if self.max_grad_norm and self.max_grad_norm > 0:
+                coef = self.max_grad_norm / (np.linalg.norm(g) + 1e-6)
+                if coef < 1.0:
+                    g = g * coef
             m, v = self.state.get(k, (0.0, 0.0))
             m = self.b1 * m + (1 - self.b1) * g
             v = self.b2 * v + (1 - self.b2) * g * g

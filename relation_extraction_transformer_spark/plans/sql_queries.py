@@ -433,21 +433,47 @@ register(
 # §4 Deduplication suite
 # ===========================================================================
 
-register(
-    "dedup_exact",  # exact hash-groupBy dedup
-    """
-    SELECT md5(text) AS fp, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
-    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
-    """,
-)(
-    lambda spark, sf: t(spark, sf, "documents")
-    .groupBy(F.md5("text").alias("fp"))
-    .agg(
-        F.count(F.lit(1)).alias("dup_count"),
-        F.min("doc_id").alias("canonical_doc_id"),
+# The synthetic documents corpus has NO exact duplicates, so a plain
+# GROUP BY HAVING > 1 passes trivially on empty output (round-2 verdict
+# finding).  The query therefore self-plants a deterministic duplicated
+# slice — every doc_id divisible by 25 is re-inserted under doc_id +
+# 1,000,000 — identically in the Spark plan and the DuckDB oracle, so the
+# dedup logic is proven on NON-empty output: each planted copy must land
+# in a dup group of exactly its source, with the source as canonical id.
+_DEDUP_PLANT_MOD = 25
+_DEDUP_PLANT_OFFSET = 1_000_000
+
+
+def _spark_dedup_exact(spark, sf):
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.unionAll(
+        docs.filter(F.col("doc_id") % _DEDUP_PLANT_MOD == 0).select(
+            (F.col("doc_id") + _DEDUP_PLANT_OFFSET).alias("doc_id"), "text"
+        )
     )
-    .filter(F.col("dup_count") > 1)
-)
+    return (
+        planted.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+register(
+    "dedup_exact",  # exact hash-groupBy dedup (planted positive path)
+    f"""
+    WITH docs_planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DEDUP_PLANT_OFFSET} AS doc_id, text FROM documents
+      WHERE doc_id % {_DEDUP_PLANT_MOD} = 0
+    )
+    SELECT md5(text) AS fp, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
+    FROM docs_planted GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)(_spark_dedup_exact)
 
 
 from ..functions import minhash as MH
@@ -1391,9 +1417,20 @@ register(
 
 register(
     "embedding_near_dup_pairs",  # embedding-cosine near-dup (dedup family):
-    # LSH-bucket blocking -> exact quantized cosine >= 0.99 within buckets
+    # LSH-bucket blocking -> exact quantized cosine within buckets.  The
+    # synthetic embeddings have no >=0.9-cosine pairs, so (like
+    # dedup_exact) the query self-plants exact copies of every 50th vector
+    # under vec_id + 1,000,000 — identically in both engines — proving the
+    # blocked-join + verify path on NON-empty output (each planted copy
+    # must bucket with and match ONLY its source at cosine 1.0).
     f"""
-    WITH q AS (
+    WITH emb_planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    q AS (
       SELECT vec_id,
              {_DUCK_QUANT} AS v,
              CAST({" + ".join(
@@ -1402,7 +1439,7 @@ register(
         f"THEN {1 << k} ELSE 0 END)"
         for k in range(_N_PLANES)
     )} AS BIGINT) AS bucket
-      FROM embeddings
+      FROM emb_planted
     ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1446,7 +1483,13 @@ register(
             "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
         )
     )(
-        t(spark, sf, "embeddings").select(
+        (
+            lambda emb: emb.unionAll(
+                emb.filter(F.col("vec_id") % 50 == 0).select(
+                    (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+                )
+            )
+        )(t(spark, sf, "embeddings").select("vec_id", "embedding")).select(
             "vec_id",
             _spark_quantize(F.col("embedding")).alias("v"),
             sum(

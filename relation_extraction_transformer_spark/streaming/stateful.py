@@ -109,16 +109,28 @@ def _session_fn(
         return
 
     start, last, n = state.get if state.exists else (None, None, 0)
-    ts_all = []
-    for pdf in pdfs:
-        ts_all.append((pdf["ts"].astype("int64") // 1_000_000))
+    ts_all = [
+        (pdf["ts"].astype("int64") // 1_000_000) for pdf in pdfs if len(pdf)
+    ]
+    if not ts_all:
+        # nothing but an (already handled) timeout tick: keep state as-is
+        if start is not None:
+            state.update((start, last, n))
+            try:
+                state.setTimeoutDuration(SESSION_GAP_MS)
+            except Exception:
+                pass
+        return
     ts = pd.concat(ts_all).sort_values()
     for t in ts:
         t = int(t)
         if start is None:
             start, last, n = t, t, 1
         elif t - last <= SESSION_GAP_MS:
-            last, n = max(last, t), n + 1
+            # a late out-of-order event inside the gap extends the session
+            # BACKWARD too, matching the batch sessionize twin (which sees
+            # events globally sorted)
+            start, last, n = min(start, t), max(last, t), n + 1
         else:
             out.append((user, start, last, n, True))
             start, last, n = t, t, 1

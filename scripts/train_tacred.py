@@ -106,7 +106,7 @@ def main() -> None:
         optimizer_name=args.optim, lr=args.lr, num_epoch=args.num_epoch,
         decay_epoch=args.decay_epoch, lr_decay=args.lr_decay,
         max_grad_norm=args.max_grad_norm, checkpoint_dir=args.save_dir,
-        word_dropout=args.word_dropout,
+        word_dropout=args.word_dropout, word_topn=args.topn,
     )
     for h in history:
         print(

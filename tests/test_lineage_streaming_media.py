@@ -253,3 +253,76 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     # (the open sessions close later via timeout in a live stream)
     assert (1, 2) in closed
     assert all(uid != 2 for uid, _ in closed), "user 2 never exceeded the gap"
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in for unit-testing
+    the session function's merge logic without a streaming query."""
+
+    def __init__(self, value=None):
+        self._v = tuple(value) if value is not None else None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state does not exist")
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_session_fn_extends_start_backward_for_late_events():
+    """ADVICE r2: an out-of-order event EARLIER than the stored session
+    start but within the gap must pull session_start backward, matching
+    the batch sessionize twin (which sees events globally sorted)."""
+    import pandas as pd
+
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    base_ms = 1_700_000_000_000
+    state = _FakeGroupState((base_ms, base_ms, 1))
+    late = pd.DataFrame(
+        {"ts": pd.to_datetime([base_ms - 60_000], unit="ms")}
+    )
+    out = list(SF._session_fn((7,), iter([late]), state))
+    assert out == []  # still one open session, nothing closed
+    start, last, n = state.get
+    assert start == base_ms - 60_000  # extended backward
+    assert last == base_ms
+    assert n == 2
+
+
+def test_session_fn_empty_batch_keeps_state():
+    """ADVICE r2: a zero-DataFrame (or all-empty) iterator must not raise
+    in pd.concat and must leave existing state untouched."""
+    import pandas as pd
+
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    base_ms = 1_700_000_000_000
+    state = _FakeGroupState((base_ms, base_ms, 3))
+    out = list(SF._session_fn((7,), iter([]), state))
+    assert out == []
+    assert state.get == (base_ms, base_ms, 3)
+
+    empty = pd.DataFrame({"ts": pd.to_datetime([], unit="ms")})
+    out = list(SF._session_fn((7,), iter([empty]), state))
+    assert out == []
+    assert state.get == (base_ms, base_ms, 3)
+
+    # and with NO prior state it must not invent one
+    fresh = _FakeGroupState()
+    out = list(SF._session_fn((8,), iter([]), fresh))
+    assert out == []
+    assert not fresh.exists

@@ -91,3 +91,19 @@ def test_ann_ivf_broadcasts_centroids(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_band_self_join_reuses_cached_signatures(spark):
+    """Round-2 verdict item 2: the LSH band self-join must not compute the
+    minhash signatures once per join side.  band_candidate_pairs persists
+    the band rows, so BOTH sides of the self-join (and the downstream
+    Jaccard verify stage) read InMemoryTableScan instead of re-running the
+    explode + 8-min aggregation."""
+    import __spark_entry__ as entry
+
+    for name in ("minhash_candidate_pairs", "ngram_jaccard_buckets"):
+        df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan, (
+            f"{name}: band rows must come from the cache, not be recomputed"
+        )

@@ -475,7 +475,10 @@ def test_trained_ensemble_majority_vote(spark, tmp_path):
 
 def test_openai_adam_matches_reference_math():
     """ref:utils/opt.py:48-107 one hand-computed step (matrix + vector
-    param; vector_l2=True so both decay)."""
+    param; vector_l2=True so both decay).  Both test gradients have norm
+    > 1, so the reference's per-parameter clip to max_grad_norm=1
+    (ref:utils/opt.py:82-84, scale by 1/(norm + 1e-6)) must fire before
+    the moment update."""
     import math
 
     p = {"m_w": np.array([[1.0, 2.0]]), "v_b": np.array([0.5])}
@@ -489,11 +492,30 @@ def test_openai_adam_matches_reference_math():
     step_size = lr_sched * math.sqrt(bc2) / bc1
     for k, g0, p0 in (("m_w", g["m_w"], np.array([[1.0, 2.0]])),
                       ("v_b", g["v_b"], np.array([0.5]))):
+        g0 = g0 * (1.0 / (np.linalg.norm(g0) + 1e-6))  # per-param clip
         m = 0.1 * g0
         v = 0.001 * g0 * g0
         expect = p0 - step_size * m / (np.sqrt(v) + 1e-8)
         expect = expect - lr_sched * 0.01 * expect
         np.testing.assert_allclose(p[k], expect, err_msg=k)
+
+
+def test_openai_adam_small_grad_not_clipped():
+    """Gradients with norm <= max_grad_norm pass through unclipped (torch
+    clip_grad_norm_ only scales when the coefficient is < 1)."""
+    import math
+
+    p = {"m_w": np.array([[0.3, 0.4]])}  # grad norm will be 0.5
+    opt = OPT.OpenAIAdam(lr=0.1, schedule="warmup_constant", warmup=0.5,
+                         t_total=2, l2=0.0)
+    g0 = np.array([[0.3, -0.4]])
+    opt.step(p, {"m_w": g0.copy()})
+    lr_sched = 0.1  # warmup_constant past warmup boundary
+    step_size = lr_sched * math.sqrt(1 - 0.999) / (1 - 0.9)
+    m = 0.1 * g0
+    v = 0.001 * g0 * g0
+    expect = np.array([[0.3, 0.4]]) - step_size * m / (np.sqrt(v) + 1e-8)
+    np.testing.assert_allclose(p["m_w"], expect)
 
 
 def test_schedule_shapes():
@@ -521,3 +543,79 @@ def test_train_step_float32_decreases_loss(spark, tmp_path):
         for _ in range(4)
     ]
     assert losses[-1] < losses[0], losses
+
+def test_fit_respects_word_topn(spark, tmp_path):
+    """ADVICE r2: --topn must actually reach the gradient step.  With
+    word_topn=3 only word-embedding rows [0, 3) may move; the tail stays
+    bit-identical through a full fit() epoch."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = {
+        k: np.asarray(v, dtype=np.float64)
+        if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+        for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+    }
+    before = params["word_emb"].copy()
+    TR.fit(
+        feats, feats, params, cfg, vocab,
+        optimizer_name="myadagrad", lr=0.3, num_epoch=1, word_topn=3,
+    )
+    np.testing.assert_array_equal(params["word_emb"][3:], before[3:])
+    assert not np.array_equal(params["word_emb"][:3], before[:3])
+
+
+def test_epoch_training_features_dropout_invalidates_word_ids(spark, tmp_path):
+    """ADVICE r2: when features carry a precomputed word_ids column, word
+    dropout must drop it (ids are re-derived from the dropped tokens) —
+    otherwise dropout is a silent no-op in gradient_rows."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).withColumn(
+        "word_ids", F.expr("transform(masked_tokens, t -> 0L)")
+    )
+
+    def n_unk(df):
+        return df.select(
+            F.sum(
+                F.size(F.filter("masked_tokens", lambda t: t == F.lit(C.UNK_TOKEN)))
+            ).alias("n")
+        ).first().n
+
+    dropped = TR.epoch_training_features(feats, 0.5, epoch=1)
+    assert "word_ids" not in dropped.columns
+    assert n_unk(dropped) > n_unk(feats)
+
+    untouched = TR.epoch_training_features(feats, 0.0, epoch=1)
+    assert "word_ids" in untouched.columns
+
+
+def test_train_loss_curve_golden(spark):
+    """Round-2 verdict item 4: the rows-only contract query
+    train_loss_curve is deterministic fp64 (seeded fixture, OMP pinned to
+    one thread, deterministic partition/summation order) — pin the exact
+    3-step MyAdagrad loss values so the weakest rows-only check is backed
+    by a hard golden."""
+    import __spark_entry__ as entry
+
+    rows = (
+        entry.queries()["train_loss_curve"](spark, "/root/testdata/sf0.001")
+        .orderBy("step")
+        .collect()
+    )
+    got = [r.loss for r in rows]
+    np.testing.assert_allclose(got, TRAIN_LOSS_CURVE_GOLDEN, rtol=1e-8)
+    assert got[2] < got[0]  # the curve actually descends
+
+
+# computed once on the pinned fixture (n=24, seed=11, myadagrad lr=0.3,
+# 2 partitions, fp64); any kernel/optimizer/summation change that moves
+# these beyond 1e-8 relative is a real semantic change
+TRAIN_LOSS_CURVE_GOLDEN = [
+    4.1412566303577,
+    1.9367300588866232,
+    2.658877059605005,
+]
