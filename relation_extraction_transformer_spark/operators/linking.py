@@ -72,6 +72,7 @@ def link_surface(
     surface_col: str,
     type_col: str,
     out_prefix: str,
+    broadcast_dict: bool = True,
 ) -> DataFrame:
     """Attach ``<out_prefix>_entity_id`` / ``<out_prefix>_canonical`` to df
     by best-candidate linking of ``surface_col``.
@@ -87,7 +88,11 @@ def link_surface(
     # argmin (scoring = rank, then type-match, then entity_id; min over a
     # union = min over per-type minima), so the array is at most
     # n_ranks x n_types long even if one alias maps to millions of
-    # entities at web scale
+    # entities at web scale.
+    # broadcast_dict=False is the big-dictionary path promised in the
+    # module docstring: the identical plan minus the broadcast hint, so
+    # Spark shuffles both sides into a sort-merge join (AQE skew-join
+    # splits hot aliases at runtime).  Same results by construction.
     reduced = dictionary.groupBy("alias_norm", "alias_rank", "ner_type").agg(
         F.min(F.struct("entity_id", "canonical_name")).alias("__best")
     )
@@ -101,10 +106,11 @@ def link_surface(
             )
         ).alias("__cands")
     )
+    dict_side = F.broadcast(dict_agg) if broadcast_dict else dict_agg
     joined = df.withColumn(
         "__surf", normalize_surface(F.col(surface_col))
     ).join(
-        F.broadcast(dict_agg),
+        dict_side,
         F.col("__surf") == F.col("alias_norm"),
         "left",
     )
@@ -130,15 +136,26 @@ def link_surface(
     )
 
 
-def link_triples(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
+def link_triples(
+    triples: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True
+) -> DataFrame:
     """triples (subj, pred, obj, ...) -> linked triples with entity ids.
 
     Unlinkable surfaces keep a synthetic id (stable_id of the normalized
     surface)
     so downstream graph ops never see nulls.
+
+    ``broadcast_dict=False`` selects the sort-merge form for alias
+    dictionaries too large to broadcast (same plan, same results).
     """
-    linked = link_surface(triples, dictionary, "subj", "subj_type", "subj")
-    linked = link_surface(linked, dictionary, "obj", "obj_type", "obj")
+    linked = link_surface(
+        triples, dictionary, "subj", "subj_type", "subj",
+        broadcast_dict=broadcast_dict,
+    )
+    linked = link_surface(
+        linked, dictionary, "obj", "obj_type", "obj",
+        broadcast_dict=broadcast_dict,
+    )
     return linked.withColumn(
         "subj_entity_id",
         F.coalesce("subj_entity_id", stable_id(normalize_surface(F.col("subj")))),

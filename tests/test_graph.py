@@ -122,3 +122,37 @@ def test_linking_dictionary_reduction_preserves_argmin(spark):
         )
         assert got_id == best.entity_id, (surface, typ)
         assert got_canon == best.canonical_name, (surface, typ)
+
+
+def test_linking_sort_merge_path_matches_broadcast(spark):
+    """Round-2 verdict item 6: the big-dictionary path.  With the
+    broadcast hint off and auto-broadcast disabled, the SAME linking plan
+    must run as a shuffle join (SortMergeJoin/ShuffledHashJoin, AQE
+    skew-join eligible) and produce row-identical results to the
+    broadcast path."""
+    import pyspark.sql.functions as F
+
+    triples = spark.read.parquet("/root/repo/artifacts/kg_triples.parquet")
+    dictionary = LINK.entity_dictionary(spark)
+
+    cols = ["subj", "obj", "subj_entity_id", "obj_entity_id",
+            "subj_canonical", "obj_canonical"]
+    want = sorted(
+        map(tuple, LINK.link_triples(triples, dictionary)
+            .select(cols).collect())
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        linked = LINK.link_triples(
+            triples, dictionary, broadcast_dict=False
+        )
+        plan = linked._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        got = sorted(map(tuple, linked.select(cols).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == want
