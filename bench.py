@@ -5,10 +5,12 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Extra keys report the north-rule throughput figure (triples/sec for the
-flagship KG pipeline) and the parallelism used.  Run with
-SPARK_GRAFT_SCALING=1 to ALSO run the KG job at 1/4 of the cores and
-report scaling efficiency (the sandbox evidence for the N -> 4N
-executor-scaling criterion; see BENCH.md).
+flagship KG pipeline, median-of-5 on a 4x corpus), the parallelism used,
+and — every run — the N -> 4N scaling evidence: the same KG job in two
+affinity-bound subprocesses at CPUS/4 and CPUS cores with the resulting
+efficiency (the sandbox form of the two-cluster-size criterion; see
+BENCH.md).  SPARK_GRAFT_SCALING=1 upgrades the scaling corpus to 16x for
+the long-form measurement.
 """
 
 from __future__ import annotations
@@ -31,6 +33,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # flagship corpus size scales with the sf of the testdata dir
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 N_PAGES = max(200, int(40000 * _SF))
+
+# Flagship + scaling measurements run on a 4x corpus: round 2's 4k-page
+# corpus was overhead-dominated (~4 s job, +-30% wall variance — the
+# driver recorded a phantom 1.53x "regression" that was pure protocol
+# noise).  16k pages at sf0.1 puts the job at ~15-20 s where the variance
+# collapses; the headline figure is the MEDIAN of 5 timed runs after one
+# warm-up (protocol in BENCH.md).
+N_PAGES_KG = N_PAGES * 4
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -69,32 +79,33 @@ def make_spark(cores: int) -> SparkSession:
 
 
 PAGES_PATH = f"/tmp/ret_bench_pages_sf{_SF}"
+PAGES_PATH_KG = f"/tmp/ret_bench_pages_kg_sf{_SF}"
 
 
-def ensure_pages(spark: SparkSession, n_pages: int) -> float:
-    """Materialize the synthetic page corpus once (the fixture analog of
+def ensure_pages(spark: SparkSession, n_pages: int, path: str) -> float:
+    """Materialize a synthetic page corpus once (the fixture analog of
     the production Iceberg pages table).  Returns generation seconds
     (0.0 when cached)."""
     from relation_extraction_transformer_spark.sources import pages as PG
 
-    marker = os.path.join(PAGES_PATH, "_SUCCESS")
+    marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return 0.0
     t0 = time.perf_counter()
     PG.synthetic_pages(spark, n_pages, seed=42, partitions=CPUS * 2).write.mode(
         "overwrite"
-    ).parquet(PAGES_PATH)
+    ).parquet(path)
     return time.perf_counter() - t0
 
 
-def run_kg_pipeline(spark: SparkSession) -> tuple[float, int]:
+def run_kg_pipeline(spark: SparkSession, path: str) -> tuple[float, int]:
     """Flagship pages-scan -> triples; returns (wall sec, n_triples).
     Reads the materialized parquet so the measured path is scan ->
     extract -> NER -> pairs -> inference (the 100 TB shape)."""
     from relation_extraction_transformer_spark.plans import pipeline as PL
 
     t0 = time.perf_counter()
-    pages = spark.read.parquet(PAGES_PATH)
+    pages = spark.read.parquet(path)
     n = PL.triples_plan(pages, spark, keep_probs=False).count()
     return time.perf_counter() - t0, n
 
@@ -102,19 +113,60 @@ def run_kg_pipeline(spark: SparkSession) -> tuple[float, int]:
 def _kg_run_subprocess() -> None:
     """Hidden mode for the affinity-bound scaling measurement: run the KG
     job (warm + best-of-2) at the requested core count, print one line."""
-    global PAGES_PATH
     cores = int(os.environ["SPARK_GRAFT_KG_RUN"])
-    PAGES_PATH = os.environ["SPARK_GRAFT_KG_PATH"]
+    path = os.environ["SPARK_GRAFT_KG_PATH"]
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    run_kg_pipeline(spark)  # warm
+    run_kg_pipeline(spark, path)  # warm
     best = None
     n = 0
     for _ in range(2):
-        sec, n = run_kg_pipeline(spark)
+        sec, n = run_kg_pipeline(spark, path)
         best = sec if best is None else min(best, sec)
     spark.stop()
     print(f"KGRUN {best:.3f} {n}")
+
+
+def _ceiling_worker(reps: int) -> float:
+    """One unit of the hardware-ceiling control: fp32 GEMM+tanh loop, the
+    same arithmetic shape as the inference kernel's hot path."""
+    import numpy as _np
+
+    a = _np.random.default_rng(0).standard_normal((2000, 360)).astype(_np.float32)
+    b = _np.random.default_rng(1).standard_normal((360, 360)).astype(_np.float32)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        a = _np.tanh(a @ b)
+    return time.perf_counter() - t0
+
+
+def numpy_ceiling_control(reps: int = 120) -> dict:
+    """Pure-NumPy (Spark-free) scaling control, measured fresh every run:
+    CPUS/4 vs CPUS independent python processes each running the same fp32
+    GEMM+tanh loop.  On a single-socket host, per-core throughput drops at
+    full occupancy (frequency scaling + shared memory bandwidth) — a limit
+    a multi-node cluster does not have, since each node keeps its own
+    memory bus.  The ratio of the measured pipeline efficiency to THIS
+    control's efficiency is the Spark-attributable scaling loss."""
+    import multiprocessing as mp
+
+    def throughput(n_procs: int) -> float:
+        with mp.Pool(n_procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_ceiling_worker, [reps] * n_procs)
+            wall = time.perf_counter() - t0
+        return n_procs * reps / wall
+
+    small = max(1, CPUS // 4)
+    thr_small = throughput(small)
+    thr_large = throughput(CPUS)
+    return {
+        "procs_small": small,
+        "procs_large": CPUS,
+        "units_per_sec_small": round(thr_small, 1),
+        "units_per_sec_large": round(thr_large, 1),
+        "efficiency": round(thr_large / thr_small / (CPUS / small), 3),
+    }
 
 
 def run_skew_bench(spark: SparkSession) -> dict:
@@ -147,6 +199,7 @@ def run_skew_bench(spark: SparkSession) -> dict:
         t0 = time.perf_counter()
         n = PL.triples_plan(df, spark, keep_probs=False).count()
         return time.perf_counter() - t0, n
+
 
     run(plain)  # warm
     plain_sec = min(run(plain)[0] for _ in range(2))
@@ -183,12 +236,19 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    gen_sec = ensure_pages(spark, N_PAGES)
-    run_kg_pipeline(spark)  # warm python workers/JIT once
-    kg_sec, n_triples = run_kg_pipeline(spark)
-    kg_sec = min(kg_sec, run_kg_pipeline(spark)[0])  # best-of-2: local-mode
-    # wall variance on a shared host is ~±30%; min is the honest capacity
-    # figure (same protocol as the scaling subprocess runs)
+    gen_sec = ensure_pages(spark, N_PAGES, PAGES_PATH)  # skew-bench corpus
+    gen_sec += ensure_pages(spark, N_PAGES_KG, PAGES_PATH_KG)
+
+    # flagship: warm once, then MEDIAN of 3 timed runs on the 4x corpus
+    # (see N_PAGES_KG comment — the round-2 best-of-2-on-4k protocol was
+    # noise-dominated); all three raw walls are reported for transparency
+    run_kg_pipeline(spark, PAGES_PATH_KG)  # warm python workers/JIT once
+    kg_runs = []
+    n_triples = 0
+    for _ in range(5):
+        sec, n_triples = run_kg_pipeline(spark, PAGES_PATH_KG)
+        kg_runs.append(round(sec, 3))
+    kg_sec = sorted(kg_runs)[2]
     timings["kg_triples"] = round(kg_sec, 3)
     triples_per_sec = round(n_triples / kg_sec, 1)
 
@@ -201,65 +261,75 @@ def main() -> None:
         "queries": timings,
         "sf": _SF,
         "cpus": CPUS,
-        "kg_pages": N_PAGES,
+        "kg_pages": N_PAGES_KG,
         "kg_triples": n_triples,
         "triples_per_sec": triples_per_sec,
+        "kg_runs_sec": kg_runs,
         "pages_gen_sec": round(gen_sec, 3),
         "skew": skew,
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALING"):
-        # N -> 4N scaling evidence: the SAME job at CPUS/4 and CPUS cores on
-        # the SAME (4x larger) corpus.  Each measurement runs in a fresh
-        # subprocess with its CPU affinity bound to exactly that many cores,
-        # so "N cores" accounts for JVM task threads AND python UDF workers
-        # together (local-mode would otherwise let a local[N] job borrow
-        # idle cores for its python workers).  See BENCH.md for the
-        # pure-NumPy hardware-ceiling control experiment.
-        scaling_path = PAGES_PATH + "_scaling"
-        if not os.path.exists(os.path.join(scaling_path, "_SUCCESS")):
-            from relation_extraction_transformer_spark.sources import (
-                pages as PG,
-            )
+    # N -> 4N scaling evidence, EVERY run (the north rule's two-cluster-
+    # size criterion, evidenced in this single-host sandbox by the SAME
+    # job at CPUS/4 and CPUS cores on the same corpus).  Each measurement
+    # runs in a fresh subprocess with its CPU affinity bound to exactly
+    # that many cores, so "N cores" accounts for JVM task threads AND
+    # python UDF workers together (local-mode would otherwise let a
+    # local[N] job borrow idle cores for its python workers).  See
+    # BENCH.md for the pure-NumPy hardware-ceiling control experiment.
+    # SPARK_GRAFT_SCALING=1 upgrades to a 16x corpus for the long-form
+    # measurement.
+    scaling_mult = 16 if os.environ.get("SPARK_GRAFT_SCALING") else 8
+    scaling_pages = N_PAGES * scaling_mult
+    scaling_path = f"{PAGES_PATH}_scaling{scaling_mult}x"
+    if not os.path.exists(os.path.join(scaling_path, "_SUCCESS")):
+        from relation_extraction_transformer_spark.sources import (
+            pages as PG,
+        )
 
-            PG.synthetic_pages(
-                spark, N_PAGES * 16, seed=42, partitions=CPUS * 4
-            ).write.mode("overwrite").parquet(scaling_path)
-        spark.stop()
+        PG.synthetic_pages(
+            spark, scaling_pages, seed=42, partitions=CPUS * 4
+        ).write.mode("overwrite").parquet(scaling_path)
+    spark.stop()
 
-        import subprocess
-        import sys as _sys
+    import subprocess
+    import sys as _sys
 
-        def measure(cores: int) -> tuple[float, int]:
-            env = dict(os.environ)
-            env["SPARK_GRAFT_KG_RUN"] = str(cores)
-            env["SPARK_GRAFT_KG_PATH"] = scaling_path
-            env.pop("SPARK_GRAFT_SCALING", None)
-            out = subprocess.run(
-                [_sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=3600,
-                preexec_fn=lambda: os.sched_setaffinity(0, set(range(cores))),
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("KGRUN")][-1]
-            _, sec, n = line.split()
-            return float(sec), int(n)
+    def measure(cores: int) -> tuple[float, int]:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_KG_RUN"] = str(cores)
+        env["SPARK_GRAFT_KG_PATH"] = scaling_path
+        env.pop("SPARK_GRAFT_SCALING", None)
+        out = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+            preexec_fn=lambda: os.sched_setaffinity(0, set(range(cores))),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("KGRUN")][-1]
+        _, sec, n = line.split()
+        return float(sec), int(n)
 
-        small = max(1, CPUS // 4)
-        kg_sec_large, n_scaling = measure(CPUS)
-        kg_sec_small, _ = measure(small)
-        tps_small = n_scaling / kg_sec_small
-        tps_large = n_scaling / kg_sec_large
-        result["scaling"] = {
-            "pages": N_PAGES * 16,
-            "triples": n_scaling,
-            "cores_small": small,
-            "cores_large": CPUS,
-            "triples_per_sec_small": round(tps_small, 1),
-            "triples_per_sec_large": round(tps_large, 1),
-            "efficiency": round(tps_large / tps_small / (CPUS / small), 3),
-        }
-    else:
-        spark.stop()
+    small = max(1, CPUS // 4)
+    kg_sec_large, n_scaling = measure(CPUS)
+    kg_sec_small, _ = measure(small)
+    tps_small = n_scaling / kg_sec_small
+    tps_large = n_scaling / kg_sec_large
+    eff = tps_large / tps_small / (CPUS / small)
+    ceiling = numpy_ceiling_control()
+    result["scaling"] = {
+        "pages": scaling_pages,
+        "triples": n_scaling,
+        "cores_small": small,
+        "cores_large": CPUS,
+        "triples_per_sec_small": round(tps_small, 1),
+        "triples_per_sec_large": round(tps_large, 1),
+        "efficiency": round(eff, 3),
+        # same-round Spark-free control: what THIS single-socket host can
+        # scale the same arithmetic at (see BENCH.md; a multi-node cluster
+        # keeps per-node memory buses, so this ceiling is local-mode-only)
+        "numpy_host_ceiling": ceiling,
+        "efficiency_vs_host_ceiling": round(eff / ceiling["efficiency"], 3),
+    }
 
     print(json.dumps(result))
 

@@ -320,6 +320,168 @@ def train_step(
     return loss
 
 
+def local_sgd_rows(
+    features: DataFrame,
+    params_bc,
+    cfg: ModelConfig,
+    lr: float,
+    k: int,
+    label_col: str = "label_id",
+    vocab_bc=None,
+    class_weights: np.ndarray | None = None,
+    word_topn: int | None = None,
+    dtype: str = "float64",
+) -> DataFrame:
+    """Local SGD (k local steps per sync): each partition takes ``k``
+    plain-SGD steps on its OWN rows and emits ONE row carrying the
+    weight-preweighted parameter delta (delta * partition_weight) in the
+    same wire format as :func:`gradient_rows`, so :func:`tree_combine`
+    and :func:`aggregate_gradients` compose unchanged and the driver
+    update is ``params += sum(preweighted deltas) / sum(weights)`` —
+    FedAvg-style weighted model averaging.
+
+    This is the documented mitigation for the driver-as-parameter-server
+    serial fraction (BENCH.md): k local steps amortize ONE driver sync
+    over k updates.  At k=1 with momentum-free SGD it is mathematically
+    the synchronous step (weighted average of per-partition steps == step
+    on the weighted-average gradient; pinned at rtol 1e-12 in
+    tests/test_training.py).  BN stays frozen ("eval") — per-partition BN
+    drift under model averaging is not meaningful to average.
+
+    ``loss_sum``/``weight_sum`` report the FIRST local step's loss — the
+    loss at the synced parameters, directly comparable to the synchronous
+    step's loss at the same point."""
+    has_word_ids = "word_ids" in features.columns
+    np_dtype = np.dtype(dtype)
+    cw = None if class_weights is None else np.asarray(class_weights, dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        params = {
+            key: np.asarray(v, dtype=np_dtype)
+            if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+            for key, v in params_bc.value.items()
+        }
+        vocab = vocab_bc.value if vocab_bc is not None else None
+        # materialize the partition's batches once; k passes reuse them
+        groups: list[tuple] = []
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not has_word_ids:
+                pdf = pdf.assign(
+                    word_ids=tokens_to_word_ids(pdf["masked_tokens"], vocab)
+                )
+            lengths = pdf["word_ids"].map(len).to_numpy()
+            for l in np.unique(lengths):
+                if l == 0 or l > C.ABS_MAX_LEN:
+                    continue
+                idx = np.nonzero(lengths == l)[0]
+                stack = lambda col: np.array(
+                    [np.asarray(x, dtype=np.int64) for x in pdf[col].iloc[idx]]
+                )
+                groups.append((
+                    stack("word_ids"), stack("pos_ids"), stack("ner_ids"),
+                    stack("subj_positions"), stack("obj_positions"),
+                    pdf[label_col].iloc[idx].to_numpy(dtype=np.int64),
+                ))
+                n += len(idx)
+        if not groups:
+            return
+        local = {
+            key: v.copy() if isinstance(v, np.ndarray) and
+            np.issubdtype(v.dtype, np.floating) else v
+            for key, v in params.items()
+        }
+        loss_first = 0.0
+        ws_first = 0.0
+        for step in range(k):
+            total: dict | None = None
+            loss_sum = 0.0
+            weight_sum = 0.0
+            for g in groups:
+                ls, ws, grads, _ = loss_and_grads(
+                    local, cfg, *g, class_weights=cw, bn_mode="eval",
+                    word_topn=word_topn,
+                )
+                loss_sum += ls
+                weight_sum += ws
+                if total is None:
+                    total = grads
+                else:
+                    for key in grads:
+                        total[key] += grads[key]
+            if step == 0:
+                loss_first, ws_first = loss_sum, weight_sum
+            for key in total:
+                local[key] = local[key] - lr * total[key] / weight_sum
+        # preweighted delta: delta * partition_weight sums linearly across
+        # partitions, so the driver (and tree_combine) just adds blobs
+        delta = {
+            key: (local[key] - params[key]) * ws_first for key in total
+        }
+        we = delta.pop("word_emb")
+        touched = np.nonzero(np.abs(we).sum(axis=1))[0]
+        delta["__word_rows__"] = touched.astype(np.int64)
+        delta["__word_vals__"] = we[touched]
+        delta["__word_shape__"] = np.array(we.shape, dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "loss_sum": [loss_first],
+                "weight_sum": [ws_first],
+                "blob": [W.to_bytes_fast(delta)],
+            }
+        )
+
+    return features.mapInPandas(run, schema=_OUT_SCHEMA)
+
+
+def local_sgd_step(
+    features: DataFrame,
+    params: W.Params,
+    cfg: ModelConfig,
+    lr: float,
+    k: int = 4,
+    label_col: str = "label_id",
+    vocab: dict | None = None,
+    class_weights: np.ndarray | None = None,
+    word_topn: int | None = None,
+    tree_width: int | None = "auto",
+    dtype: str = "float64",
+) -> float:
+    """One local-SGD sync round: k local steps per partition, then ONE
+    weighted model average on the driver.  Mutates ``params`` in place;
+    returns the mean weighted-CE loss at the synced parameters (before
+    this round's updates).  See :func:`local_sgd_rows`."""
+    spark = features.sparkSession
+    params_bc = spark.sparkContext.broadcast(params)
+    vocab_bc = spark.sparkContext.broadcast(vocab) if vocab is not None else None
+    try:
+        delta_df = local_sgd_rows(
+            features, params_bc, cfg, lr, k, label_col=label_col,
+            vocab_bc=vocab_bc, class_weights=class_weights,
+            word_topn=word_topn, dtype=dtype,
+        )
+        if tree_width == "auto":
+            n_parts = features.rdd.getNumPartitions()
+            tree_width = 4 if n_parts > 8 else None
+        if tree_width is not None:
+            delta_df = tree_combine(delta_df, tree_width)
+        rows = delta_df.collect()
+    finally:
+        params_bc.unpersist()
+    if not rows:
+        raise ValueError(
+            "local_sgd_step: no usable training rows (empty input, or "
+            "every sentence outside [1, ABS_MAX_LEN])"
+        )
+    loss, avg_delta, _ = aggregate_gradients(rows)
+    for key, d in avg_delta.items():
+        params[key] = params[key] + np.asarray(d, dtype=params[key].dtype)
+    return loss
+
+
 def epoch_training_features(
     train_features: DataFrame,
     word_dropout: float,
@@ -381,6 +543,7 @@ def fit(
     word_topn: int | None = None,
     class_weights: np.ndarray | None = None,
     dtype: str = "float64",
+    local_sgd_k: int | None = None,
 ) -> list[dict]:
     """The reference's epoch loop (ref:runner.py:259-357) in Spark form:
     per-epoch synchronous distributed update(s), dev-set predict + micro
@@ -397,7 +560,13 @@ def fit(
     ``word_topn`` is the reference's ``--topn`` (ref:runner.py topn /
     keep_partial_grad): only the top-n word-embedding rows receive
     gradient updates; ``class_weights`` / ``dtype`` pass straight through
-    to :func:`train_step`."""
+    to :func:`train_step`.
+
+    ``local_sgd_k`` switches each step to :func:`local_sgd_step` (k local
+    plain-SGD steps per partition per sync, FedAvg model averaging) —
+    the amortized-sync mode for when the driver update is the wall; the
+    named optimizer/momentum is bypassed in that mode (plain SGD at the
+    current decayed lr)."""
     import os
 
     from pyspark.sql import functions as F
@@ -447,12 +616,20 @@ def fit(
         )
         train_loss = 0.0
         for _ in range(steps_per_epoch):
-            train_loss = train_step(
-                epoch_train, params, cfg, opt, label_col=label_col,
-                vocab=vocab, max_grad_norm=max_grad_norm, bn_mode=bn_mode,
-                word_topn=word_topn, class_weights=class_weights,
-                dtype=dtype,
-            )
+            if local_sgd_k:
+                train_loss = local_sgd_step(
+                    epoch_train, params, cfg, lr=current_lr, k=local_sgd_k,
+                    label_col=label_col, vocab=vocab,
+                    class_weights=class_weights, word_topn=word_topn,
+                    dtype=dtype,
+                )
+            else:
+                train_loss = train_step(
+                    epoch_train, params, cfg, opt, label_col=label_col,
+                    vocab=vocab, max_grad_norm=max_grad_norm, bn_mode=bn_mode,
+                    word_topn=word_topn, class_weights=class_weights,
+                    dtype=dtype,
+                )
 
         params_bc = spark.sparkContext.broadcast(params)
         pred = INF.predict_relations(

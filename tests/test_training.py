@@ -619,3 +619,81 @@ TRAIN_LOSS_CURVE_GOLDEN = [
     1.9367300588866232,
     2.658877059605005,
 ]
+
+
+def test_local_sgd_k1_equals_synchronous_sgd(spark, tmp_path):
+    """Local SGD at k=1 with momentum-free SGD IS the synchronous step:
+    the weighted average of per-partition steps equals one step on the
+    weighted-average gradient (both unclipped).  Pinned at rtol 1e-12."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).repartition(3).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+
+    def fresh():
+        return {
+            k: np.asarray(v, dtype=np.float64)
+            if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+            for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+        }
+
+    p_sync = fresh()
+    opt = OPT.SGD(lr=0.1, momentum=0.0, nesterov=False)
+    loss_sync = TR.train_step(
+        feats, p_sync, cfg, opt, vocab=vocab, max_grad_norm=1e18,
+    )
+
+    p_local = fresh()
+    loss_local = TR.local_sgd_step(
+        feats, p_local, cfg, lr=0.1, k=1, vocab=vocab,
+    )
+    assert loss_local == pytest.approx(loss_sync, rel=1e-12)
+    for k in p_sync:
+        np.testing.assert_allclose(
+            p_local[k], p_sync[k], rtol=1e-12, atol=1e-13, err_msg=k,
+        )
+
+
+def test_local_sgd_k4_trains(spark, tmp_path):
+    """k>1 local steps per sync still drive the loss down (the reported
+    loss is measured at the synced parameters, so round i's loss reflects
+    round i-1's updates)."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).repartition(3).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = {
+        k: np.asarray(v, dtype=np.float64)
+        if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+        for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+    }
+    losses = [
+        TR.local_sgd_step(feats, params, cfg, lr=0.1, k=4, vocab=vocab)
+        for _ in range(4)
+    ]
+    assert losses[-1] < losses[0], losses
+
+
+def test_fit_local_sgd_mode(spark, tmp_path):
+    """fit(local_sgd_k=2) runs end to end and trains."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path).repartition(3).cache()
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = {
+        k: np.asarray(v, dtype=np.float64)
+        if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+        for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+    }
+    hist = TR.fit(
+        feats, feats, params, cfg, vocab, lr=0.1, num_epoch=3,
+        local_sgd_k=2,
+    )
+    assert len(hist) == 3
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
