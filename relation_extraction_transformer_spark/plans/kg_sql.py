@@ -463,6 +463,46 @@ KG_REGISTRY["media_frames"] = QuerySpec(
 )
 
 
+def _media_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over binary media payloads (the media twin of
+    dedup_exact).  The frozen media fixture has unique payloads, so —
+    like dedup_exact — the query self-plants a deterministic duplicated
+    slice (every media_id divisible by 20 re-inserted at media_id +
+    1,000,000) identically in both engines, proving the non-empty path."""
+    media = spark.read.parquet(MEDIA_PARQUET).select("media_id", "payload")
+    planted = media.unionAll(
+        media.filter(F.col("media_id") % 20 == 0).select(
+            (F.col("media_id") + 1000000).alias("media_id"), "payload"
+        )
+    )
+    return (
+        planted.groupBy(
+            F.md5(F.upper(F.hex("payload"))).alias("content_md5")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("media_id").alias("canonical_media_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+KG_REGISTRY["media_dedup"] = QuerySpec(
+    spark=_media_dedup_spark,
+    oracle=f"""
+    WITH planted AS (
+      SELECT media_id, payload FROM read_parquet('{MEDIA_PARQUET}')
+      UNION ALL
+      SELECT media_id + 1000000 AS media_id, payload
+      FROM read_parquet('{MEDIA_PARQUET}') WHERE media_id % 20 = 0
+    )
+    SELECT md5(upper(hex(payload))) AS content_md5,
+           COUNT(*) AS dup_count, MIN(media_id) AS canonical_media_id
+    FROM planted GROUP BY md5(upper(hex(payload))) HAVING COUNT(*) > 1
+    """,
+)
+
+
 KG_REGISTRY["media_meta"] = QuerySpec(
     spark=_media_meta_spark,
     oracle=f"""

@@ -66,7 +66,12 @@ def main() -> None:
     if args.synthetic:
         pages = PG.synthetic_pages(spark, args.synthetic, seed=42)
     else:
-        pages = spark.read.parquet(args.pages)
+        # routes through the lakehouse IO layer: parquet path here,
+        # Iceberg catalog table when RETS_TABLE_FORMAT=iceberg (see
+        # sources/tables.py for the spark-submit --packages/--conf recipe)
+        from relation_extraction_transformer_spark.sources import tables as TB
+
+        pages = TB.read_table(spark, args.pages)
 
     if args.salt_partitions:
         pages = pages.withColumn(

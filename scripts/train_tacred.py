@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--word-dropout", type=float, default=0.06)
     ap.add_argument("--topn", type=int, default=None,
                     help="fine-tune only the top-n word embeddings")
+    ap.add_argument("--local-sgd-k", type=int, default=None,
+                    help="k local SGD steps per sync (FedAvg averaging; "
+                         "amortizes the driver sync — see BENCH.md); "
+                         "bypasses --optim")
     args = ap.parse_args()
 
     import numpy as np
@@ -107,6 +111,7 @@ def main() -> None:
         decay_epoch=args.decay_epoch, lr_decay=args.lr_decay,
         max_grad_norm=args.max_grad_norm, checkpoint_dir=args.save_dir,
         word_dropout=args.word_dropout, word_topn=args.topn,
+        local_sgd_k=args.local_sgd_k,
     )
     for h in history:
         print(
