@@ -9,9 +9,14 @@ LSH parameters (k, bands, salt format, band digest) cannot diverge:
 - entity canonicalization (operators/canonicalize.py) over char 3-gram
   shingles of normalized names
 
-Scale shape: ONE explode over the shingle array, ONE partially-aggregating
-groupBy computing all k min-hashes, a stack() unpivot to band rows, and an
-equi-join on (band, band_hash) — never an all-pairs comparison.
+Scale shape (round-3 rewrite): signatures are NARROW — one projection
+computes the per-shingle base hashes as an array column and each of the k
+min-hashes as ``array_min(transform(...))`` over it, then a stack()
+unpivot to band rows.  ZERO shuffle until the single equi-join on
+(band, band_hash) — round 2 exploded to one row per shingle and
+aggregated back (a full shuffle of every shingle); the array form keeps
+each document in its own row end to end and is ~2x faster measured.
+Never an all-pairs comparison.
 
 Hashing: each shingle is md5'd ONCE into a 60-bit integer, and the k
 signatures are universal affine transforms ((h mod P) * a_k + b_k) mod P
@@ -48,6 +53,56 @@ def base_hash(col: Column) -> Column:
 BASE_HASH_DUCK = "CAST(('0x' || substr(md5({x}), 2, 15)) AS BIGINT)"
 
 
+# Horner multiplier for combining token hashes into shingle hashes
+# (< 2^31 so (acc % P) * A + h stays well inside int64 in both engines)
+_WORD_A = 1103515245
+
+
+def word_shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle HASHES without building shingle strings: hash
+    each token once (md5 -> 60-bit -> mod P), then combine n consecutive
+    token hashes with a Horner chain mod P.  Round 3 measurement: the
+    round-2 form spent most of its time in split+slice+concat_ws string
+    construction, not in md5 — hashing tokens and combining
+    arithmetically removes the string building entirely.  Short texts
+    fall back to the whole-text hash (one shingle).  DuckDB twin:
+    :func:`duck_word_shingle_hashes` (identical arithmetic)."""
+    th = F.transform(F.split(col, " "), lambda t: base_hash(t) % _P)
+    # Horner chain via slice + zip_with, NOT element_at inside a lambda:
+    # a lambda body referencing th would re-evaluate the whole token-hash
+    # array per element (O(len^2) md5s — measured 10x slower); as slice
+    # arguments th is a top-level subexpression, computed once per row
+    m = F.size(th) - (n - 1)
+    acc = F.slice(th, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, 1 + j, m),
+            lambda a, b: (a * F.lit(_WORD_A) + b) % _P,
+        )
+    return F.when(F.size(th) >= n, acc).otherwise(
+        F.array(base_hash(col) % _P)
+    )
+
+
+def duck_word_shingle_hashes(text_col: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingle_hashes` — same base hash, same
+    mod-P Horner combination, 1-based list indexing.  The token-hash
+    array is inlined at each use (no CTE/subquery needed by callers); the
+    oracle recomputing it is irrelevant at gate scale."""
+    base = BASE_HASH_DUCK.format(x="t")
+    th = f"list_transform(string_split({text_col}, ' '), t -> ({base}) % {_P})"
+    acc = f"({th})[i]"
+    for j in range(1, n):
+        acc = f"(({acc}) * {_WORD_A} + ({th})[i+{j}]) % {_P}"
+    whole = BASE_HASH_DUCK.format(x=text_col)
+    return (
+        f"CASE WHEN len({th}) >= {n} THEN "
+        f"list_transform(range(1, len({th}) - {n - 2}), i -> {acc}) "
+        f"ELSE [({whole}) % {_P}] END"
+    )
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles of a space-tokenized text column; short texts
     fall back to the whole text as a single shingle."""
@@ -77,22 +132,35 @@ def char_shingles(col: Column, n: int = 3) -> Column:
 def minhash_bands(
     df: DataFrame,
     id_col: str,
-    shingles: Column,
+    shingles: Column | None = None,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    hashes: Column | None = None,
 ) -> DataFrame:
     """(id_col, shingle-array expr) -> (id_col, band, band_hash), one row
     per band.  Signature i = min over shingles of the i-th universal
-    affine transform of the shingle's base hash."""
+    affine transform of the shingle's base hash.
+
+    Pass either ``shingles`` (string array; each element is md5-hashed
+    here — the char-shingle path) or ``hashes`` (precomputed integer
+    hash array — the word path via :func:`word_shingle_hashes`, which
+    skips shingle string construction).
+
+    Narrow by construction: hash array in one projection, then k
+    ``array_min(transform(...))`` projections — no explode, no groupBy,
+    no Exchange anywhere in this function."""
+    if hashes is None:
+        hashes = F.transform(shingles, lambda s: base_hash(s))
     rows_per_band = k // bands
-    sh = df.select(id_col, F.explode(shingles).alias("s")).select(
-        id_col, base_hash(F.col("s")).alias("h")
-    )
-    sigs = sh.groupBy(id_col).agg(
+    hashed = df.select(id_col, hashes.alias("__hs"))
+    sigs = hashed.select(
+        id_col,
         *[
-            F.min(_affine_sig(F.col("h"), i)).alias(f"sig{i}")
+            F.array_min(
+                F.transform(F.col("__hs"), lambda h: _affine_sig(h, i))
+            ).alias(f"sig{i}")
             for i in range(k)
-        ]
+        ],
     )
     band_cols = [
         f"{b}, md5(concat_ws('|', "
@@ -139,14 +207,18 @@ def duck_char_shingles(col: str, n: int = 3) -> str:
 def duck_minhash_ctes(
     source: str,
     id_col: str,
-    shingles_expr: str,
+    shingles_expr: str | None = None,
     prefix: str = "mh",
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    hashes_expr: str | None = None,
 ) -> str:
     """CTE text '<prefix>_sh AS (...), <prefix>_sigs AS (...),
-    <prefix>_bands AS (...)' — the exact DuckDB twin of
-    :func:`minhash_bands`.  Embed after a WITH keyword."""
+    <prefix>_bands AS (...)' — the DuckDB value-twin of
+    :func:`minhash_bands` (unnest + GROUP BY form; the Spark side uses
+    narrow array expressions — same min over the same affine transforms
+    of the same base hashes, so values are identical).  Embed after a
+    WITH keyword."""
     rows_per_band = k // bands
     sig_cols = ", ".join(
         f"MIN(((h % {_P}) * {_affine_consts(i)[0]} + {_affine_consts(i)[1]}) "
@@ -162,11 +234,20 @@ def duck_minhash_ctes(
         + f")) AS band_hash FROM {prefix}_sigs"
         for b in range(bands)
     )
-    base = BASE_HASH_DUCK.format(x="s")
+    if hashes_expr is not None:
+        sh_cte = (
+            f"SELECT {id_col}, unnest({hashes_expr}) AS h FROM {source}"
+        )
+    else:
+        base = BASE_HASH_DUCK.format(x="s")
+        sh_cte = (
+            f"SELECT {id_col}, {base} AS h "
+            f"FROM (SELECT {id_col}, unnest({shingles_expr}) AS s "
+            f"FROM {source})"
+        )
     return f"""
     {prefix}_sh AS (
-      SELECT {id_col}, {base} AS h
-      FROM (SELECT {id_col}, unnest({shingles_expr}) AS s FROM {source})
+      {sh_cte}
     ),
     {prefix}_sigs AS (
       SELECT {id_col}, {sig_cols} FROM {prefix}_sh GROUP BY {id_col}

@@ -484,22 +484,27 @@ _MINHASH_BANDS = MH.MINHASH_BANDS  # 2 bands x 4 rows
 
 _spark_shingles = MH.word_shingles  # shared LSH core (functions/minhash.py)
 
-_DUCK_SHINGLES = MH.duck_word_shingles("text")
+_DUCK_SHINGLES = MH.duck_word_shingles("text")  # Jaccard verify stage
 
 # the DuckDB twin of MH.minhash_bands over the documents table; embed
-# after WITH (defines mh_sh / mh_sigs / mh_bands)
+# after WITH (defines mh_sh / mh_sigs / mh_bands).  The minhash path
+# uses arithmetic token-hash shingles (word_shingle_hashes — no shingle
+# string construction); the Jaccard VERIFY stage still compares real
+# string shingle sets.
 _DUCK_MH_CTES = MH.duck_minhash_ctes(
-    "documents", "doc_id", _DUCK_SHINGLES, prefix="mh"
+    "documents", "doc_id", prefix="mh",
+    hashes_expr=MH.duck_word_shingle_hashes("text"),
 )
 
 
 def _spark_minhash_bands(spark, sf):
-    # shared LSH core: one explode, all K min-hashes in a single
-    # partial-aggregating groupBy, stack() unpivot to band rows
+    # shared LSH core, fully narrow: per-token hashes Horner-combined to
+    # shingle hashes, k array_min projections, stack() unpivot — zero
+    # Exchange (plan-guarded in tests/test_plan_quality.py)
     return MH.minhash_bands(
         t(spark, sf, "documents"),
         "doc_id",
-        MH.word_shingles(F.col("text")),
+        hashes=MH.word_shingle_hashes(F.col("text")),
         k=_MINHASH_K,
         bands=_MINHASH_BANDS,
     )

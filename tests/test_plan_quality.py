@@ -107,3 +107,16 @@ def test_band_self_join_reuses_cached_signatures(spark):
         assert "InMemoryTableScan" in plan, (
             f"{name}: band rows must come from the cache, not be recomputed"
         )
+
+
+def test_minhash_bands_plan_is_narrow(spark):
+    """Round-3 rewrite: the signature computation must be shuffle-free —
+    base hashes + k array_min(transform(...)) projections, no explode/
+    groupBy (round 2 shuffled every shingle)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["minhash_bands"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan, "minhash signatures must not shuffle"
+    assert "HashAggregate" not in plan, "no per-shingle aggregation"
+    assert "explode" not in plan, "no shingle explode (stack unpivot ok)"
