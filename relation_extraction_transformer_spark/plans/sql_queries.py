@@ -372,6 +372,79 @@ register(
 )
 
 
+def _spark_repetition_scores(spark, sf):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    standard Common-Crawl quality signals — most-frequent-token fraction
+    and duplicate-bigram fraction — as NARROW array expressions.  The top
+    token count is the longest equal run in the sorted token array,
+    computed with one F.aggregate fold (no explode, no shuffle)."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    srt = F.array_sort(toks)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(srt, init, step, lambda acc: acc["best"])
+    bg = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n, 6
+        ).alias("distinct_token_ratio"),
+        F.round(top_cnt.cast("double") / n, 6).alias("top_token_ratio"),
+        F.when(n >= 2,
+               F.round(
+                   F.lit(1.0)
+                   - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+                   6,
+               )).otherwise(F.lit(0.0)).alias("dup_bigram_ratio"),
+    )
+
+
+register(
+    "repetition_scores",  # Gopher-style repetition/quality filters
+    # DuckDB twin: top token count = max per-token count (== longest
+    # equal run in the sorted list); list-expression form, value-equal
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, l,
+             CASE WHEN len(l) >= 2 THEN
+               list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+             ELSE [] END AS b
+      FROM toks
+    )
+    SELECT doc_id,
+           len(l) AS n_tokens,
+           ROUND(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+             AS distinct_token_ratio,
+           ROUND(CAST(list_max(list_transform(list_distinct(l),
+                 t -> len(list_filter(l, x -> x = t)))) AS DOUBLE) / len(l), 6)
+             AS top_token_ratio,
+           CASE WHEN len(l) >= 2 THEN
+             ROUND(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 6)
+           ELSE 0.0 END AS dup_bigram_ratio
+    FROM bg
+    """,
+)(_spark_repetition_scores)
+
+
 register(
     "lang_guess",  # n-gram/stopword language-id heuristic vs declared lang
     """
