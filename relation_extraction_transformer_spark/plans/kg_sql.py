@@ -463,6 +463,47 @@ KG_REGISTRY["media_frames"] = QuerySpec(
 )
 
 
+def _kg_host_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl statistics — the aggregation a crawl pipeline runs
+    to score/throttle hosts (spam domains, skew detection).  The pages
+    corpus is Pareto-skewed by host (sources/pages.py), so this is also
+    the query whose group sizes motivate salted_repartition."""
+    from ..functions.skew import host_of
+
+    pages = spark.read.parquet(PAGES_PARQUET)
+    return (
+        pages.select(
+            host_of(F.col("url")).alias("host"),
+            "lang",
+            F.length("text").alias("chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("chars").alias("total_chars"),
+            F.round(
+                F.sum("chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+    )
+
+
+KG_REGISTRY["kg_host_stats"] = QuerySpec(
+    spark=_kg_host_stats_spark,
+    oracle=f"""
+    SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           COUNT(*) AS n_pages,
+           COUNT(DISTINCT lang) AS n_langs,
+           SUM(length(text)) AS total_chars,
+           ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6)
+             AS avg_chars
+    FROM read_parquet('{PAGES_PARQUET}')
+    GROUP BY 1
+    """,
+)
+
+
 def _media_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup over binary media payloads (the media twin of
     dedup_exact).  The frozen media fixture has unique payloads, so —

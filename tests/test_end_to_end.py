@@ -72,3 +72,24 @@ def test_pipeline_deterministic_across_partitioning(spark):
         for r in PL.triples_plan(pages7, spark, keep_probs=False).collect()
     }
     assert t2 == t7
+
+
+def test_triple_precision_recall_meets_north_rule(spark):
+    """The north rule's literal criterion: emitted (subj, pred, obj)
+    triples at P/R >= 0.95 vs the reference-semantics oracle.  This
+    engine achieves exact parity, so the computed figures are 1.0/1.0 —
+    asserted here as the explicit metric (the exact-equality twin test
+    above pins the stronger property)."""
+    got = {
+        (r.url, r.sent_id, r.pair_id, r.subj, r.pred, r.obj)
+        for r in _spark_triples(spark).collect()
+    }
+    want = {
+        (t.url, t.sent_id, t.pair_id, t.subj, t.pred, t.obj)
+        for t in _oracle_triples(spark)
+    }
+    inter = len(got & want)
+    precision = inter / len(got)
+    recall = inter / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert precision == 1.0 and recall == 1.0, (precision, recall)
