@@ -150,6 +150,8 @@ def minhash_bands(
     ``array_min(transform(...))`` projections — no explode, no groupBy,
     no Exchange anywhere in this function."""
     if hashes is None:
+        if shingles is None:
+            raise ValueError("minhash_bands: pass either shingles or hashes")
         hashes = F.transform(shingles, lambda s: base_hash(s))
     rows_per_band = k // bands
     hashed = df.select(id_col, hashes.alias("__hs"))

@@ -445,6 +445,108 @@ register(
 )(_spark_repetition_scores)
 
 
+def _spark_corpus_filter(spark, sf):
+    """The composed keep/drop decision of a training-data cleaning job:
+    length, repetition, and type-token-ratio gates evaluated per document
+    with the failed-rule names carried as an array (the audit trail real
+    cleaning pipelines keep).  Pure narrow expressions over the same
+    signals as quality_scores / repetition_scores."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    bg = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_bg = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+    ).otherwise(F.lit(0.0))
+    reasons = F.array_compact(
+        F.array(
+            F.when(n < 10, F.lit("too_short")),
+            F.when(n > 5000, F.lit("too_long")),
+            F.when(ttr < 0.2, F.lit("low_ttr")),
+            F.when(dup_bg > 0.3, F.lit("repetitive")),
+            F.when(F.col("lang") != "en", F.lit("non_english")),
+        )
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        n.alias("n_tokens"),
+        # joined string, not array: the driver's cross-engine value hash
+        # compares scalar columns
+        F.array_join(reasons, ",").alias("drop_reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+
+
+register(
+    "corpus_filter_decisions",  # composed cleaning gates + audit trail
+    """
+    WITH sig AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> (string_split(text, ' '))[i] || ' ' ||
+                            (string_split(text, ' '))[i+1]))) AS DOUBLE)
+                   / (len(string_split(text, ' ')) - 1)
+             ELSE 0.0 END AS dup_bg
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n,
+             list_filter([
+               CASE WHEN n < 10 THEN 'too_short' END,
+               CASE WHEN n > 5000 THEN 'too_long' END,
+               CASE WHEN ttr < 0.2 THEN 'low_ttr' END,
+               CASE WHEN dup_bg > 0.3 THEN 'repetitive' END,
+               CASE WHEN lang <> 'en' THEN 'non_english' END
+             ], x -> x IS NOT NULL) AS drop_reasons
+      FROM sig
+    )
+    SELECT doc_id, n AS n_tokens,
+           COALESCE(array_to_string(drop_reasons, ','), '') AS drop_reasons,
+           len(drop_reasons) = 0 AS keep
+    FROM r
+    """,
+)(_spark_corpus_filter)
+
+
+def _spark_stratified_sample(spark, sf):
+    """Deterministic hash-based stratified sampling: per-language keep
+    rates applied with an md5-derived uniform — reproducible across
+    runs, partitionings, and engines (no rand()).  The downsampling
+    primitive of corpus curation (e.g. keep all 'en', thin the rest)."""
+    rates = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.25))
+    # md5 hex chars [1..8] -> 32-bit int -> uniform in [0, 1)
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("sample"), "doc_id")), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(float(1 << 32))
+    return (
+        t(spark, sf, "documents")
+        .filter(u < rates)
+        .select("doc_id", "lang")
+    )
+
+
+register(
+    "stratified_sample",  # deterministic per-stratum downsampling
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) / {float(1 << 32)}
+          < CASE WHEN lang = 'en' THEN 1.0 ELSE 0.25 END
+    """,
+)(_spark_stratified_sample)
+
+
 register(
     "lang_guess",  # n-gram/stopword language-id heuristic vs declared lang
     """
