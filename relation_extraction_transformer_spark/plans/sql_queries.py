@@ -547,6 +547,61 @@ register(
 )(_spark_stratified_sample)
 
 
+_PACK_LEN = 512
+
+
+def _spark_pack_segments(spark, sf):
+    """Sequence packing for pretraining: documents are concatenated in a
+    deterministic global order (doc_id) and cut into fixed-length packs
+    of {_PACK_LEN} tokens — the 'document concatenation' packing used to
+    build LLM training sequences.  Each doc gets (pack_id, offset) from a
+    running token total (ONE window cumsum — at scale, partition by a
+    shard key first so the window is per-shard, then offset by shard
+    totals; the global form here matches the oracle exactly)."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _PACK_LEN).cast("long").alias("pack_id"),
+        (start % _PACK_LEN).cast("long").alias("pack_offset"),
+        # docs whose tokens cross a pack boundary are split at training
+        # time; surface the flag so the packer's consumer can count them
+        (
+            F.floor(start / _PACK_LEN) != F.floor((cum - 1) / _PACK_LEN)
+        ).alias("crosses_boundary"),
+    )
+
+
+register(
+    "pack_segments",  # pretraining sequence packing (window cumsum)
+    f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / {_PACK_LEN}.0) AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {_PACK_LEN} AS BIGINT) AS pack_offset,
+           FLOOR((cum - n_tokens) / {_PACK_LEN}.0)
+             <> FLOOR((cum - 1) / {_PACK_LEN}.0) AS crosses_boundary
+    FROM c
+    """,
+)(_spark_pack_segments)
+
+
 register(
     "lang_guess",  # n-gram/stopword language-id heuristic vs declared lang
     """
