@@ -95,3 +95,54 @@ def test_spark_binning_bulk_matches_python(spark):
         r.b for r in df.select(P.log2_bin(F.col("v")).alias("b")).collect()
     ]
     assert got == [_bin_one(x) for x in xs]
+
+
+def test_word_shingle_hashes_matches_python_model(spark):
+    """The slice+zip_with Horner construction equals a straightforward
+    Python reimplementation (md5 per token -> mod P -> Horner combine)
+    on edge cases: empty string, single/two tokens (whole-text
+    fallback), exactly 3, many, and repeated tokens."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from relation_extraction_transformer_spark.functions import minhash as MH
+
+    P_ = (1 << 31) - 1
+    A = 1103515245
+
+    def base(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[1:16], 16)
+
+    def model(text: str, n=3):
+        toks = text.split(" ")
+        if len(toks) < n:
+            return [base(text) % P_]
+        th = [base(t) % P_ for t in toks]
+        out = []
+        for i in range(len(th) - n + 1):
+            acc = th[i]
+            for j in range(1, n):
+                acc = (acc * A + th[i + j]) % P_
+            out.append(acc)
+        return out
+
+    texts = [
+        "",
+        "one",
+        "two tokens",
+        "a b c",
+        "a b c d e",
+        "x x x x",  # repeats
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {
+        r.i: list(r.h)
+        for r in df.select(
+            "i", MH.word_shingle_hashes(F.col("text")).alias("h")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == model(t), (t, got[i], model(t))
