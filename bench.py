@@ -125,7 +125,7 @@ def _kg_run_subprocess() -> None:
     run_kg_pipeline(spark, path)  # warm
     best = None
     n = 0
-    for _ in range(3):
+    for _ in range(2):
         sec, n = run_kg_pipeline(spark, path)
         best = sec if best is None else min(best, sec)
     spark.stop()
@@ -318,9 +318,16 @@ def main() -> None:
         _, sec, n = line.split()
         return float(sec), int(n)
 
+    # TWO interleaved subprocess invocations per core count, best wall
+    # each: this host shows not only per-run straggler outliers but
+    # occasional SUSTAINED slow episodes (observed: a 32-core subprocess
+    # 2.4x slow for all its runs while the 8-core side was normal);
+    # a fresh JVM minutes later escapes what repeats inside one process
     small = max(1, CPUS // 4)
     kg_sec_large, n_scaling = measure(CPUS)
     kg_sec_small, _ = measure(small)
+    kg_sec_large = min(kg_sec_large, measure(CPUS)[0])
+    kg_sec_small = min(kg_sec_small, measure(small)[0])
     tps_small = n_scaling / kg_sec_small
     tps_large = n_scaling / kg_sec_large
     eff = tps_large / tps_small / (CPUS / small)
