@@ -602,6 +602,62 @@ register(
 )(_spark_pack_segments)
 
 
+def _spark_bpe_merge_candidates(spark, sf):
+    """First iteration of BPE tokenizer training (operators/bpe.py): the
+    adjacent-symbol pair counts over the word-frequency table, top 50
+    with a total deterministic order.  The distributed part of BPE
+    learning — the merge loop itself runs driver-side over this
+    vocabulary-sized table."""
+    from ..operators.bpe import EOW, word_frequencies
+
+    wf = word_frequencies(t(spark, sf, "documents"))
+    L = F.length("word")
+    word = F.col("word")
+    inner = F.when(
+        L >= 2,
+        F.transform(
+            F.sequence(F.lit(1), L - 1),
+            lambda i: F.concat(word.substr(i, F.lit(1)),
+                               word.substr(i + 1, F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = F.concat(
+        inner, F.array(F.concat(word.substr(L, F.lit(1)), F.lit(EOW)))
+    )
+    return (
+        wf.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(50)
+    )
+
+
+register(
+    "bpe_merge_candidates",  # BPE training iteration 1: pair counts
+    """
+    WITH wf AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    p AS (
+      SELECT unnest(list_concat(
+               CASE WHEN len(word) >= 2 THEN
+                 list_transform(range(1, len(word)),
+                   i -> substr(word, CAST(i AS INT), 1)
+                        || substr(word, CAST(i + 1 AS INT), 1))
+               ELSE [] END,
+               [substr(word, len(word), 1) || '</w>']
+             )) AS pair, freq
+      FROM wf
+    )
+    SELECT pair, SUM(freq) AS cnt FROM p
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)(_spark_bpe_merge_candidates)
+
+
 register(
     "lang_guess",  # n-gram/stopword language-id heuristic vs declared lang
     """
