@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Training-corpus curation pipeline: the end-to-end cleaning job the
+individual operators exist for, as one spark-submit entry.
+
+    quality filter  ->  exact dedup  ->  MinHash-LSH near-dedup
+                    ->  stratified sample  ->  sequence packing
+
+Each stage is the library operator (same expressions as the oracle-paired
+contract queries); the job emits the curated corpus plus a per-stage
+funnel report — the audit artifact a data-curation run ships with.
+
+    spark-submit --py-files ret_spark.zip scripts/curate_corpus.py \
+        --docs /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/curated --pack-len 512
+
+Scale notes: every stage is a narrow projection or a single
+aggregation/join already audited for 100 TB shape (see BENCH.md plan
+audit) — the near-dedup join is LSH-band-blocked, never all-pairs, and
+the packing window runs per language shard (partitioned window, not a
+global sort).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet/table")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pack-len", type=int, default=512)
+    ap.add_argument("--jaccard", type=float, default=0.1,
+                    help="near-dup verify threshold on word-3-gram Jaccard")
+    ap.add_argument("--keep-rate-other", type=float, default=0.25,
+                    help="sampling rate for non-en strata (en keeps 1.0)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("curate-corpus")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from relation_extraction_transformer_spark.functions import minhash as MH
+    from relation_extraction_transformer_spark.sources import tables as TB
+
+    docs = TB.read_table(spark, args.docs).select("doc_id", "lang", "text")
+    report = {"input": docs.count()}
+
+    # 1. quality filter (same gates as the corpus_filter_decisions query)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    bg = F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_bg = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+    ).otherwise(F.lit(0.0))
+    kept = docs.filter(
+        (n >= 10) & (n <= 5000) & (ttr >= 0.2) & (dup_bg <= 0.3)
+    )
+    report["after_quality_filter"] = kept.count()
+
+    # 2. exact dedup: keep the lowest doc_id per content hash
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    report["after_exact_dedup"] = kept.count()
+
+    # 3. near-dedup: LSH bands -> candidate pairs -> Jaccard verify ->
+    # drop the higher doc_id of each verified pair
+    bands = MH.minhash_bands(
+        kept, "doc_id", hashes=MH.word_shingle_hashes(F.col("text"))
+    )
+    pairs = MH.band_candidate_pairs(bands, "doc_id", "doc_a", "doc_b")
+    sh = kept.select(
+        "doc_id", F.array_distinct(MH.word_shingles(F.col("text"))).alias("s")
+    )
+    verified = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"),
+                             F.col("s").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("s").alias("sb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= args.jaccard)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = kept.join(verified, "doc_id", "left_anti")
+    report["after_near_dedup"] = kept.count()
+
+    # 4. deterministic stratified sample (md5 uniform; no rand())
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("sample"), "doc_id")), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(float(1 << 32))
+    rate = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(
+        F.lit(args.keep_rate_other)
+    )
+    kept = kept.filter(u < rate)
+    report["after_sampling"] = kept.count()
+
+    # 5. sequence packing, per language shard (partitioned window)
+    wl = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.size(F.split("text", " "))).over(wl)
+    start = cum - F.size(F.split("text", " "))
+    packed = kept.select(
+        "doc_id", "lang", "text",
+        F.floor(start / args.pack_len).cast("long").alias("pack_id"),
+        (start % args.pack_len).cast("long").alias("pack_offset"),
+    )
+    TB.write_table(packed, os.path.join(args.out, "curated"))
+    report["packs"] = (
+        spark.read.parquet(os.path.join(args.out, "curated"))
+        .select("lang", "pack_id").distinct().count()
+    )
+
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
