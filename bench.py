@@ -318,16 +318,21 @@ def main() -> None:
         _, sec, n = line.split()
         return float(sec), int(n)
 
-    # TWO interleaved subprocess invocations per core count, best wall
-    # each: this host shows not only per-run straggler outliers but
-    # occasional SUSTAINED slow episodes (observed: a 32-core subprocess
-    # 2.4x slow for all its runs while the 8-core side was normal);
-    # a fresh JVM minutes later escapes what repeats inside one process
+    # Interleaved subprocess invocations per core count, best wall each:
+    # this host shows not only per-run straggler outliers but occasional
+    # SUSTAINED slow episodes (observed: a 32-core subprocess 2.4x slow
+    # for all its runs while the 8-core side was normal); a fresh JVM
+    # minutes later escapes what repeats inside one process.  The second
+    # invocation pair is ADAPTIVE — only paid when the first pair's
+    # efficiency looks episode-shaped — to keep the typical bench wall
+    # bounded.
     small = max(1, CPUS // 4)
     kg_sec_large, n_scaling = measure(CPUS)
     kg_sec_small, _ = measure(small)
-    kg_sec_large = min(kg_sec_large, measure(CPUS)[0])
-    kg_sec_small = min(kg_sec_small, measure(small)[0])
+    eff = (kg_sec_small / kg_sec_large) / (CPUS / small)
+    if eff < 0.5:
+        kg_sec_large = min(kg_sec_large, measure(CPUS)[0])
+        kg_sec_small = min(kg_sec_small, measure(small)[0])
     tps_small = n_scaling / kg_sec_small
     tps_large = n_scaling / kg_sec_large
     eff = tps_large / tps_small / (CPUS / small)
