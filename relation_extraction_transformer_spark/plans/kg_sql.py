@@ -495,7 +495,7 @@ KG_REGISTRY["kg_host_stats"] = QuerySpec(
     SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
            COUNT(*) AS n_pages,
            COUNT(DISTINCT lang) AS n_langs,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6)
              AS avg_chars
     FROM read_parquet('{PAGES_PARQUET}')

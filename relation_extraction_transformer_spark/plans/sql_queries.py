@@ -652,7 +652,7 @@ register(
              )) AS pair, freq
       FROM wf
     )
-    SELECT pair, SUM(freq) AS cnt FROM p
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p
     GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
     """,
 )(_spark_bpe_merge_candidates)
