@@ -554,29 +554,17 @@ def _spark_pack_segments(spark, sf):
     """Sequence packing for pretraining: documents are concatenated in a
     deterministic global order (doc_id) and cut into fixed-length packs
     of {_PACK_LEN} tokens — the 'document concatenation' packing used to
-    build LLM training sequences.  Each doc gets (pack_id, offset) from a
-    running token total (ONE window cumsum — at scale, partition by a
-    shard key first so the window is per-shard, then offset by shard
-    totals; the global form here matches the oracle exactly)."""
+    build LLM training sequences.  Runs the scale-safe two-phase form
+    (operators/packing.py: range-sharded partitioned window + broadcast
+    shard offsets, no SinglePartition exchange); the global single-window
+    twin survives only as the DuckDB oracle below, and
+    tests/test_packing.py asserts the two are row-identical."""
+    from ..operators.packing import pack_segments
+
     docs = t(spark, sf, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = F.sum("n_tokens").over(w)
-    start = cum - F.col("n_tokens")
-    return docs.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(start / _PACK_LEN).cast("long").alias("pack_id"),
-        (start % _PACK_LEN).cast("long").alias("pack_offset"),
-        # docs whose tokens cross a pack boundary are split at training
-        # time; surface the flag so the packer's consumer can count them
-        (
-            F.floor(start / _PACK_LEN) != F.floor((cum - 1) / _PACK_LEN)
-        ).alias("crosses_boundary"),
-    )
+    return pack_segments(docs, pack_len=_PACK_LEN)
 
 
 register(

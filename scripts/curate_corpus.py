@@ -16,8 +16,8 @@ funnel report — the audit artifact a data-curation run ships with.
 Scale notes: every stage is a narrow projection or a single
 aggregation/join already audited for 100 TB shape (see BENCH.md plan
 audit) — the near-dedup join is LSH-band-blocked, never all-pairs, and
-the packing window runs per language shard (partitioned window, not a
-global sort).
+the packing cumsum is the two-phase range-sharded form from
+operators/packing.py — no stratum ever funnels through one task.
 """
 
 from __future__ import annotations
@@ -57,6 +57,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from relation_extraction_transformer_spark.functions import minhash as MH
+    from relation_extraction_transformer_spark.operators import packing as PK
     from relation_extraction_transformer_spark.sources import tables as TB
 
     docs = TB.read_table(spark, args.docs).select("doc_id", "lang", "text")
@@ -126,17 +127,19 @@ def main() -> None:
     kept = kept.filter(u < rate)
     report["after_sampling"] = kept.count()
 
-    # 5. sequence packing, per language shard (partitioned window)
-    wl = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = F.sum(F.size(F.split("text", " "))).over(wl)
-    start = cum - F.size(F.split("text", " "))
-    packed = kept.select(
-        "doc_id", "lang", "text",
-        F.floor(start / args.pack_len).cast("long").alias("pack_id"),
-        (start % args.pack_len).cast("long").alias("pack_offset"),
-    )
+    # 5. sequence packing, per language — scale-safe two-phase form
+    # (operators/packing.py).  A plain Window.partitionBy("lang") would
+    # funnel the dominant-language stratum through one task; the packer
+    # range-shards WITHIN each language and offsets by broadcast shard
+    # totals, so no single task ever sees a whole stratum.
+    packed = PK.pack_segments(
+        kept.select(
+            "doc_id", "lang", "text",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        ),
+        pack_len=args.pack_len,
+        group_cols=("lang",),
+    ).select("doc_id", "lang", "text", "pack_id", "pack_offset")
     TB.write_table(packed, os.path.join(args.out, "curated"))
     report["packs"] = (
         spark.read.parquet(os.path.join(args.out, "curated"))
