@@ -127,21 +127,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from relation_extraction_transformer_spark.plans import kg_sql as KQ
     from relation_extraction_transformer_spark.plans import sql_queries as Q
 
-    full: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: spec.spark for name, spec in Q.REGISTRY.items()
+    full: dict[str, tuple[Callable, bool]] = {
+        name: (spec.spark, spec.oracle is not None)
+        for name, spec in Q.REGISTRY.items()
     }
-    full.update({name: spec.spark for name, spec in KQ.KG_REGISTRY.items()})
+    full.update(
+        {
+            name: (spec.spark, spec.oracle is not None)
+            for name, spec in KQ.KG_REGISTRY.items()
+        }
+    )
 
+    deferred = set(_DEFERRED_PAST_DRIVER_CAP)
     out = {
         name: fn
-        for name, fn in full.items()
-        if name not in _DEFERRED_PAST_DRIVER_CAP
+        for name, (fn, paired) in full.items()
+        if paired and name not in deferred
     }
+    # past the cap: explicitly deferred paired queries, then rows-only
+    # registry entries (no SQL form — pytest-gated), then the two
+    # kernel-gated rows-only queries
+    out.update(
+        {n: full[n][0] for n in _DEFERRED_PAST_DRIVER_CAP if n in full}
+    )
     out.update(
         {
-            name: full[name]
-            for name in _DEFERRED_PAST_DRIVER_CAP
-            if name in full
+            name: fn
+            for name, (fn, paired) in full.items()
+            if not paired and name not in deferred
         }
     )
     out.update(_kg_queries())

@@ -97,7 +97,8 @@ def learn_bpe(
 
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply a learned merge table to one word (training-order greedy —
-    the canonical BPE encoder)."""
+    the canonical BPE encoder).  O(n_merges * len): the readable spec;
+    ``encode_word_ranked`` is the fast equivalent used corpus-wide."""
     symbols = list(word) + [EOW]
     for a, b in merges:
         i = 0
@@ -111,3 +112,94 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         symbols = out
     return symbols
+
+
+def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """Merge table -> pair-rank lookup (lower rank = learned earlier)."""
+    return {pair: i for i, pair in enumerate(merges)}
+
+
+def encode_word_ranked(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Rank-based BPE encode: repeatedly merge every occurrence of the
+    lowest-rank pair present.  Equivalent to applying the merge table
+    sequentially (``encode_word``) — a pair of rank k can only be
+    created by merges of rank < k, so processing pairs in rank order is
+    the same as processing the table in order; only pairs still present
+    are visited, making this O(n_present_merges * len) instead of
+    O(n_table * len).  Exact equivalence is pytest-gated
+    (tests/test_bpe.py)."""
+    symbols = list(word) + [EOW]
+    while len(symbols) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (symbols[i], symbols[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out, i = [], 0
+        while i < len(symbols):
+            if i < len(symbols) - 1 and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    output_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize a whole corpus with a learned merge table — the encode
+    half of the tokenizer (the apply side of ``learn_bpe``).
+
+    Scale shape: mapInPandas with the merge-rank table captured in the
+    closure (KB-sized, shipped once per executor) and a per-partition
+    word -> tokens memo.  Word frequency is Zipfian, so each partition
+    encodes each distinct word ONCE and reuses it — the hot loop is a
+    dict hit, not a merge scan.  No shuffle, no join: the operator is
+    embarrassingly parallel and composes with any upstream partitioning
+    (partitioning invariance is pytest-gated).
+
+    Output: the input rows plus ``output_col: array<string>``.
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ranks = merge_ranks(merges)
+    in_cols = docs.columns
+    # build a NEW StructType: StructType.add mutates the receiver, and
+    # df.schema is a live cached object
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [StructField(output_col, ArrayType(StringType()))]
+    )
+
+    def encode_batches(batches):
+        memo: dict[str, list[str]] = {}
+
+        def encode_text(text):
+            out: list[str] = []
+            for w in (text or "").split(" "):
+                if not w:
+                    continue
+                toks = memo.get(w)
+                if toks is None:
+                    toks = encode_word_ranked(w, ranks)
+                    memo[w] = toks
+                out.extend(toks)
+            return out
+
+        for pdf in batches:
+            pdf = pdf[in_cols].copy()
+            pdf[output_col] = pdf[text_col].map(encode_text)
+            yield pdf
+
+    return docs.mapInPandas(encode_batches, schema=out_schema)

@@ -646,6 +646,29 @@ register(
 )(_spark_bpe_merge_candidates)
 
 
+def _spark_bpe_encode_tokens(spark, sf):
+    """Corpus-wide BPE tokenization (operators/bpe.py bpe_encode): learn
+    a 50-merge table from the documents table, then apply it to every
+    document with the distributed mapInPandas encoder (per-partition
+    word memo, no shuffle).  Rows-only in the driver battery — BPE's
+    iterative merge loop has no SQL form; the exactness gate is
+    tests/test_bpe.py (ranked==sequential on the real vocab, doc-by-doc
+    parity with driver-side encode_word, partitioning invariance)."""
+    from ..operators.bpe import bpe_encode, learn_bpe
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    merges = learn_bpe(docs, n_merges=50)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 24)).alias("bpe_prefix"),
+    )
+
+
+register("bpe_encode_tokens", None)(_spark_bpe_encode_tokens)
+
+
 register(
     "lang_guess",  # n-gram/stopword language-id heuristic vs declared lang
     """

@@ -71,3 +71,59 @@ def test_encode_word_roundtrip():
         assert all(s for s in syms)
     # a frequent fully-merged word collapses to few symbols
     assert len(BPE.encode_word("low", merges)) <= 3
+
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_ranked_encoder_equals_sequential_on_real_vocab(spark):
+    """encode_word_ranked must be EXACTLY encode_word for every distinct
+    word of the real documents table under a real learned merge table."""
+    docs = spark.read.parquet(SF_DOCS)
+    merges = BPE.learn_bpe(docs, n_merges=60)
+    ranks = BPE.merge_ranks(merges)
+    words = [r.word for r in BPE.word_frequencies(docs).collect()]
+    assert len(words) > 20
+    for w in words:
+        assert BPE.encode_word_ranked(w, ranks) == BPE.encode_word(w, merges), w
+
+
+def test_bpe_encode_corpus_matches_driver_side(spark):
+    """The distributed encoder (mapInPandas + memo) must reproduce the
+    per-word driver-side encode_word concatenation doc-by-doc."""
+    docs = spark.read.parquet(SF_DOCS).select("doc_id", "text")
+    merges = BPE.learn_bpe(docs, n_merges=40)
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in BPE.bpe_encode(docs, merges).collect()
+    }
+    for r in docs.collect():
+        want = []
+        for w in r.text.split(" "):
+            if w:
+                want.extend(BPE.encode_word(w, merges))
+        assert got[r.doc_id] == want, r.doc_id
+
+
+def test_bpe_encode_partitioning_invariant(spark):
+    docs = spark.read.parquet(SF_DOCS).select("doc_id", "text")
+    merges = BPE.learn_bpe(docs, n_merges=30)
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, tuple(r.bpe_tokens))
+            for r in BPE.bpe_encode(df, merges).collect()
+        )
+
+    assert rows(docs.repartition(1)) == rows(docs.repartition(7))
+
+
+def test_bpe_encode_handles_empty_and_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    merges = _reference_bpe(TEXTS, 8)
+    out = {r.doc_id: list(r.bpe_tokens) for r in BPE.bpe_encode(docs, merges).collect()}
+    assert out[2] == [] and out[3] == [] and out[4] == []
+    assert "".join(out[1]) == "low" + BPE.EOW + "lower" + BPE.EOW
