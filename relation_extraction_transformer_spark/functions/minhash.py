@@ -265,6 +265,7 @@ def band_candidate_pairs(
     out_a: str = "src",
     out_b: str = "dst",
     persist: bool = True,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Self-equi-join on (band, band_hash), id_a < id_b, distinct.  The
     only join in the near-dup path — AQE-skew-splittable at scale.
@@ -277,11 +278,19 @@ def band_candidate_pairs(
     input reuse one entry, and downstream consumers of the same bands plan
     (the Jaccard verify join) hit the cache too.  MEMORY_AND_DISK: band
     rows are 2 small rows/doc — at true 100 TB scale a pipeline would
-    materialize them to a table instead, which is the same idea durable."""
+    materialize them to a table instead, which is the same idea durable.
+
+    Cache lifetime: a long-lived session calling this over many distinct
+    inputs would otherwise accumulate cache entries — pass a list as
+    ``persisted_out`` to receive the persisted handle and
+    ``.unpersist()`` it once the pairs (and any band-blocked verify
+    stage sharing the plan) have been consumed."""
     if persist:
         from pyspark import StorageLevel
 
         bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(bands_df)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(

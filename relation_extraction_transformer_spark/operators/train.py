@@ -351,6 +351,10 @@ def local_sgd_rows(
     ``loss_sum``/``weight_sum`` report the FIRST local step's loss — the
     loss at the synced parameters, directly comparable to the synchronous
     step's loss at the same point."""
+    if not isinstance(k, int) or k < 1:
+        raise ValueError(
+            f"local SGD needs k >= 1 local steps per sync, got k={k!r}"
+        )
     has_word_ids = "word_ids" in features.columns
     np_dtype = np.dtype(dtype)
     cw = None if class_weights is None else np.asarray(class_weights, dtype=np.float64)

@@ -122,18 +122,42 @@ def _session_fn(
                 pass
         return
     ts = pd.concat(ts_all).sort_values()
+    # Late events BELOW the open session merge backward only while they
+    # are within the gap of session_start; anything older (no watermark
+    # bounds lateness here) would otherwise pull start back unboundedly,
+    # diverging from the batch sessionize twin, which gap-splits on the
+    # globally sorted stream.  Older events accumulate in their own
+    # gap-split "late chain"; its final segment may still merge if later
+    # in-gap events extend the session start down to within the gap.
+    lstart = llast = None
+    ln = 0
     for t in ts:
         t = int(t)
         if start is None:
             start, last, n = t, t, 1
+        elif t < start:
+            if start - t <= SESSION_GAP_MS:
+                # in-gap late event: extend the session backward
+                start, n = t, n + 1
+            elif lstart is None:
+                lstart, llast, ln = t, t, 1
+            elif t - llast <= SESSION_GAP_MS:
+                llast, ln = t, ln + 1
+            else:
+                out.append((user, lstart, llast, ln, True))
+                lstart, llast, ln = t, t, 1
         elif t - last <= SESSION_GAP_MS:
-            # a late out-of-order event inside the gap extends the session
-            # BACKWARD too, matching the batch sessionize twin (which sees
-            # events globally sorted)
-            start, last, n = min(start, t), max(last, t), n + 1
+            last, n = max(last, t), n + 1
         else:
             out.append((user, start, last, n, True))
             start, last, n = t, t, 1
+    if lstart is not None:
+        if start - llast <= SESSION_GAP_MS:
+            # backward extensions brought the open session within the
+            # gap of the late chain's tail: they are one session
+            start, n = lstart, n + ln
+        else:
+            out.append((user, lstart, llast, ln, True))
     state.update((start, last, n))
     try:
         state.setTimeoutDuration(SESSION_GAP_MS)

@@ -303,6 +303,80 @@ def test_session_fn_extends_start_backward_for_late_events():
     assert n == 2
 
 
+def test_session_fn_bounds_backward_merge_by_gap():
+    """ADVICE r3: an event OLDER than session_start by more than the gap
+    must NOT merge into the open session (t - last <= gap is always true
+    for t < last, which previously pulled start back unboundedly).  The
+    batch twin gap-splits on the sorted stream, so such an event is its
+    own closed session."""
+    import pandas as pd
+
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    base_ms = 1_700_000_000_000
+    gap = SF.SESSION_GAP_MS
+    state = _FakeGroupState((base_ms, base_ms, 1))
+    # 3 h before the open session start: hours too old to merge
+    very_late = pd.DataFrame(
+        {"ts": pd.to_datetime([base_ms - 6 * gap], unit="ms")}
+    )
+    [out] = list(SF._session_fn((7,), iter([very_late]), state))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert bool(row.closed) and int(row.n_events) == 1
+    assert int(row.session_start.value // 1_000_000) == base_ms - 6 * gap
+    assert state.get == (base_ms, base_ms, 1)  # open session untouched
+
+
+def test_session_fn_late_chain_gap_splits_and_can_merge():
+    """Two halves of the late-event contract: (a) several too-old events
+    gap-split among THEMSELVES like the batch twin; (b) when an in-gap
+    late event extends the session backward far enough, the late chain's
+    tail merges into the open session."""
+    import pandas as pd
+
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    gap = SF.SESSION_GAP_MS
+    base_ms = 1_700_000_000_000
+
+    # (a) two late clusters separated by > gap, both > gap below start
+    state = _FakeGroupState((base_ms, base_ms, 2))
+    late = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [base_ms - 5 * gap, base_ms - 5 * gap + 1000,
+                 base_ms - 3 * gap],
+                unit="ms",
+            )
+        }
+    )
+    [out] = list(SF._session_fn((7,), iter([late]), state))
+    got = sorted(
+        (int(r.session_start.value // 10**6), int(r.n_events))
+        for _, r in out.iterrows()
+    )
+    assert got == [(base_ms - 5 * gap, 2), (base_ms - 3 * gap, 1)]
+    assert state.get == (base_ms, base_ms, 2)
+
+    # (b) chain tail at start-1.5gap + in-gap event at start-0.8gap:
+    # the in-gap event drags start down, bringing the chain within the
+    # gap -> all one open session
+    state = _FakeGroupState((base_ms, base_ms, 1))
+    late = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [base_ms - int(1.5 * gap), base_ms - int(0.8 * gap)],
+                unit="ms",
+            )
+        }
+    )
+    out = list(SF._session_fn((7,), iter([late]), state))
+    assert out == []  # nothing closed: everything merged
+    start, last, n = state.get
+    assert (start, last, n) == (base_ms - int(1.5 * gap), base_ms, 3)
+
+
 def test_session_fn_empty_batch_keeps_state():
     """ADVICE r2: a zero-DataFrame (or all-empty) iterator must not raise
     in pd.concat and must leave existing state untouched."""

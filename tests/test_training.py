@@ -656,6 +656,25 @@ def test_local_sgd_k1_equals_synchronous_sgd(spark, tmp_path):
         )
 
 
+def test_local_sgd_rejects_invalid_k(spark, tmp_path):
+    """ADVICE r3: k=0 used to surface as an executor-side
+    UnboundLocalError; it must be a clear driver-side ValueError."""
+    from relation_extraction_transformer_spark.operators import train as TR
+
+    feats = _tacred_features(spark, tmp_path)
+    rows = feats.collect()
+    vocab = _vocab_for(rows)
+    cfg = ModelConfig(vocab_size=len(vocab))
+    params = {
+        k: np.asarray(v, dtype=np.float64)
+        if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+        for k, v in W.generate_weights(cfg, vocab_size=len(vocab)).items()
+    }
+    for bad_k in (0, -1, 2.5):
+        with pytest.raises(ValueError, match="k >= 1"):
+            TR.local_sgd_step(feats, params, cfg, lr=0.1, k=bad_k, vocab=vocab)
+
+
 def test_local_sgd_k4_trains(spark, tmp_path):
     """k>1 local steps per sync still drive the loss down (the reported
     loss is measured at the synced parameters, so round i's loss reflects
