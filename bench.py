@@ -6,11 +6,13 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 
 Extra keys report the north-rule throughput figure (triples/sec for the
 flagship KG pipeline, median-of-5 on a 4x corpus), the parallelism used,
-and — every run — the N -> 4N scaling evidence: the same KG job in two
-affinity-bound subprocesses at CPUS/4 and CPUS cores with the resulting
-efficiency (the sandbox form of the two-cluster-size criterion; see
-BENCH.md).  SPARK_GRAFT_SCALING=1 upgrades the scaling corpus to 16x for
-the long-form measurement.
+and — every run — the N -> 4N scaling evidence: the same KG job in
+affinity-bound subprocesses at TWO core-count pairs (2 -> 8, the
+local[2]-vs-local[8] form BASELINE.md names as the sandbox analog of the
+two-cluster-size criterion, plus 8 -> 32 with a same-run NumPy
+host-ceiling control), all raw walls published (protocol in BENCH.md).
+SPARK_GRAFT_SCALING=1 upgrades the 8 -> 32 corpus to 16x for the
+long-form measurement.
 """
 
 from __future__ import annotations
@@ -115,21 +117,22 @@ def run_kg_pipeline(spark: SparkSession, path: str) -> tuple[float, int]:
 
 def _kg_run_subprocess() -> None:
     """Hidden mode for the affinity-bound scaling measurement: run the KG
-    job (warm + best-of-3; this host shows sporadic ~25% straggler
-    outliers, see kg_runs_sec) at the requested core count, print one
-    line."""
+    job at the requested core count — one warm-up then TWO timed runs
+    (this host shows sporadic ~25% straggler outliers, see kg_runs_sec)
+    — and print ALL raw timed walls on one line so the parent can
+    publish them."""
     cores = int(os.environ["SPARK_GRAFT_KG_RUN"])
     path = os.environ["SPARK_GRAFT_KG_PATH"]
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     run_kg_pipeline(spark, path)  # warm
-    best = None
+    walls = []
     n = 0
     for _ in range(2):
         sec, n = run_kg_pipeline(spark, path)
-        best = sec if best is None else min(best, sec)
+        walls.append(round(sec, 3))
     spark.stop()
-    print(f"KGRUN {best:.3f} {n}")
+    print(f"KGRUN {','.join(str(w) for w in walls)} {n}")
 
 
 def _ceiling_worker(reps: int) -> float:
@@ -145,14 +148,15 @@ def _ceiling_worker(reps: int) -> float:
     return time.perf_counter() - t0
 
 
-def numpy_ceiling_control(reps: int = 120) -> dict:
+def numpy_ceiling_control(small: int, large: int, reps: int = 120) -> dict:
     """Pure-NumPy (Spark-free) scaling control, measured fresh every run:
-    CPUS/4 vs CPUS independent python processes each running the same fp32
-    GEMM+tanh loop.  On a single-socket host, per-core throughput drops at
-    full occupancy (frequency scaling + shared memory bandwidth) — a limit
-    a multi-node cluster does not have, since each node keeps its own
-    memory bus.  The ratio of the measured pipeline efficiency to THIS
-    control's efficiency is the Spark-attributable scaling loss."""
+    ``small`` vs ``large`` independent python processes each running the
+    same fp32 GEMM+tanh loop.  On a single-socket host, per-core
+    throughput drops at full occupancy (frequency scaling + shared memory
+    bandwidth) — a limit a multi-node cluster does not have, since each
+    node keeps its own memory bus.  The ratio of the measured pipeline
+    efficiency to THIS control's efficiency is the Spark-attributable
+    scaling loss."""
     import multiprocessing as mp
 
     def throughput(n_procs: int) -> float:
@@ -162,15 +166,14 @@ def numpy_ceiling_control(reps: int = 120) -> dict:
             wall = time.perf_counter() - t0
         return n_procs * reps / wall
 
-    small = max(1, CPUS // 4)
     thr_small = throughput(small)
-    thr_large = throughput(CPUS)
+    thr_large = throughput(large)
     return {
         "procs_small": small,
-        "procs_large": CPUS,
+        "procs_large": large,
         "units_per_sec_small": round(thr_small, 1),
         "units_per_sec_large": round(thr_large, 1),
-        "efficiency": round(thr_large / thr_small / (CPUS / small), 3),
+        "efficiency": round(thr_large / thr_small / (large / small), 3),
     }
 
 
@@ -280,14 +283,31 @@ def main() -> None:
 
     # N -> 4N scaling evidence, EVERY run (the north rule's two-cluster-
     # size criterion, evidenced in this single-host sandbox by the SAME
-    # job at CPUS/4 and CPUS cores on the same corpus).  Each measurement
-    # runs in a fresh subprocess with its CPU affinity bound to exactly
-    # that many cores, so "N cores" accounts for JVM task threads AND
-    # python UDF workers together (local-mode would otherwise let a
-    # local[N] job borrow idle cores for its python workers).  See
-    # BENCH.md for the pure-NumPy hardware-ceiling control experiment.
-    # SPARK_GRAFT_SCALING=1 upgrades to a 16x corpus for the long-form
-    # measurement.
+    # job at two affinity-bound core counts on the same corpus — each
+    # measurement is a fresh subprocess with CPU affinity bound to
+    # exactly that many cores, so "N cores" accounts for JVM task threads
+    # AND python UDF workers together).
+    #
+    # Two pairs are measured and ALL raw walls published:
+    #   2 -> 8  (PRIMARY, the local[2]-vs-local[8] form BASELINE.md names
+    #            for the N->4N criterion): below the single-socket memory-
+    #            bandwidth/turbo ceiling, so raw efficiency is the honest
+    #            analog of adding executor NODES (each node keeps its own
+    #            memory bus).  Runs on the 4x corpus so the 2-core wall
+    #            stays ~1 min.
+    #   8 -> 32 (supplementary): saturates the socket; reported raw AND
+    #            normalized by a same-run Spark-free NumPy control that
+    #            measures what THIS host can scale ANY identical
+    #            arithmetic at between those occupancies.
+    #
+    # Robustness: this host shows sporadic straggler outliers and
+    # occasional SUSTAINED slow episodes (a subprocess 2.4x slow for all
+    # its runs while the other side was normal — see BENCH.md).  Each
+    # pair therefore takes interleaved large/small invocations with
+    # best-of walls per side, and re-measures the pair SYMMETRICALLY
+    # whenever its efficiency lands outside a plausibility band — low
+    # (slow-episode on the large side) or high (slow-episode on the
+    # small side inflating the figure).
     scaling_mult = 16 if os.environ.get("SPARK_GRAFT_SCALING") else 8
     scaling_pages = N_PAGES * scaling_mult
     scaling_path = f"{PAGES_PATH}_scaling{scaling_mult}x"
@@ -304,10 +324,10 @@ def main() -> None:
     import subprocess
     import sys as _sys
 
-    def measure(cores: int) -> tuple[float, int]:
+    def measure(cores: int, path: str) -> tuple[list[float], int]:
         env = dict(os.environ)
         env["SPARK_GRAFT_KG_RUN"] = str(cores)
-        env["SPARK_GRAFT_KG_PATH"] = scaling_path
+        env["SPARK_GRAFT_KG_PATH"] = path
         env.pop("SPARK_GRAFT_SCALING", None)
         out = subprocess.run(
             [_sys.executable, os.path.abspath(__file__)],
@@ -315,41 +335,83 @@ def main() -> None:
             preexec_fn=lambda: os.sched_setaffinity(0, set(range(cores))),
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("KGRUN")][-1]
-        _, sec, n = line.split()
-        return float(sec), int(n)
+        _, walls, n = line.split()
+        return [float(w) for w in walls.split(",")], int(n)
 
-    # Interleaved subprocess invocations per core count, best wall each:
-    # this host shows not only per-run straggler outliers but occasional
-    # SUSTAINED slow episodes (observed: a 32-core subprocess 2.4x slow
-    # for all its runs while the 8-core side was normal); a fresh JVM
-    # minutes later escapes what repeats inside one process.  The second
-    # invocation pair is ADAPTIVE — only paid when the first pair's
-    # efficiency looks episode-shaped — to keep the typical bench wall
-    # bounded.
-    small = max(1, CPUS // 4)
-    kg_sec_large, n_scaling = measure(CPUS)
-    kg_sec_small, _ = measure(small)
-    eff = (kg_sec_small / kg_sec_large) / (CPUS / small)
-    if eff < 0.5:
-        kg_sec_large = min(kg_sec_large, measure(CPUS)[0])
-        kg_sec_small = min(kg_sec_small, measure(small)[0])
-    tps_small = n_scaling / kg_sec_small
-    tps_large = n_scaling / kg_sec_large
-    eff = tps_large / tps_small / (CPUS / small)
-    ceiling = numpy_ceiling_control()
+    def scaling_pair(
+        c_small: int,
+        c_large: int,
+        path: str,
+        pages: int,
+        band: tuple[float, float],
+        max_pairs: int = 2,
+    ) -> dict:
+        walls: dict[int, list[float]] = {c_small: [], c_large: []}
+        n = 0
+
+        def run_pair() -> None:
+            nonlocal n
+            w, n = measure(c_large, path)
+            walls[c_large] += w
+            w, _ = measure(c_small, path)
+            walls[c_small] += w
+
+        def eff_now() -> float:
+            return (min(walls[c_small]) / min(walls[c_large])) / (
+                c_large / c_small
+            )
+
+        run_pair()
+        pairs = 1
+        lo, hi = band
+        while pairs < max_pairs and not (lo <= eff_now() <= hi):
+            run_pair()
+            pairs += 1
+        tps_small = n / min(walls[c_small])
+        tps_large = n / min(walls[c_large])
+        return {
+            "pages": pages,
+            "triples": n,
+            "cores_small": c_small,
+            "cores_large": c_large,
+            "invocation_pairs": pairs,
+            "raw_walls_small_sec": walls[c_small],
+            "raw_walls_large_sec": walls[c_large],
+            "triples_per_sec_small": round(tps_small, 1),
+            "triples_per_sec_large": round(tps_large, 1),
+            "efficiency": round(
+                tps_large / tps_small / (c_large / c_small), 3
+            ),
+        }
+
+    # PRIMARY: local[2] -> local[8] on the 4x corpus (already built).
+    # Plausibility band ~ the regime's observed 0.85-1.0; anything
+    # outside re-measures once, in BOTH directions.
+    pair_2_8 = scaling_pair(
+        2, 8, PAGES_PATH_KG, N_PAGES_KG, band=(0.75, 1.02)
+    )
+    # SUPPLEMENTARY: 8 -> 32 on the 8x corpus, raw + ceiling-normalized.
+    pair_8_32 = scaling_pair(
+        max(1, CPUS // 4), CPUS, scaling_path, scaling_pages,
+        band=(0.5, 1.02),
+    )
+    ceiling = numpy_ceiling_control(max(1, CPUS // 4), CPUS)
+    pair_8_32["numpy_host_ceiling"] = ceiling
+    pair_8_32["efficiency_vs_host_ceiling"] = round(
+        pair_8_32["efficiency"] / ceiling["efficiency"], 3
+    )
+
     result["scaling"] = {
-        "pages": scaling_pages,
-        "triples": n_scaling,
-        "cores_small": small,
-        "cores_large": CPUS,
-        "triples_per_sec_small": round(tps_small, 1),
-        "triples_per_sec_large": round(tps_large, 1),
-        "efficiency": round(eff, 3),
-        # same-round Spark-free control: what THIS single-socket host can
-        # scale the same arithmetic at (see BENCH.md; a multi-node cluster
-        # keeps per-node memory buses, so this ceiling is local-mode-only)
-        "numpy_host_ceiling": ceiling,
-        "efficiency_vs_host_ceiling": round(eff / ceiling["efficiency"], 3),
+        # the in-record N->4N figure: raw 2->8 (BASELINE.md's named form)
+        "efficiency": pair_2_8["efficiency"],
+        "cores_small": pair_2_8["cores_small"],
+        "cores_large": pair_2_8["cores_large"],
+        "triples_per_sec_small": pair_2_8["triples_per_sec_small"],
+        "triples_per_sec_large": pair_2_8["triples_per_sec_large"],
+        "pages": pair_2_8["pages"],
+        "triples": pair_2_8["triples"],
+        "pair_2_to_8": pair_2_8,
+        "pair_8_to_32": pair_8_32,
     }
 
     print(json.dumps(result))

@@ -13,6 +13,10 @@ funnel report — the audit artifact a data-curation run ships with.
         --docs /root/testdata/sf0.01/documents.parquet \
         --out /tmp/curated --pack-len 512
 
+The stage logic lives in :func:`curate` so tests drive it directly
+(tests/test_curate_corpus.py pins the sf0.001 funnel counts and checks
+stage outputs against the oracle-paired contract queries).
+
 Scale notes: every stage is a narrow projection or a single
 aggregation/join already audited for 100 TB shape (see BENCH.md plan
 audit) — the near-dedup join is LSH-band-blocked, never all-pairs, and
@@ -33,37 +37,33 @@ sys.path.insert(
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", required=True, help="documents parquet/table")
-    ap.add_argument("--out", required=True)
-    ap.add_argument("--pack-len", type=int, default=512)
-    ap.add_argument("--jaccard", type=float, default=0.1,
-                    help="near-dup verify threshold on word-3-gram Jaccard")
-    ap.add_argument("--keep-rate-other", type=float, default=0.25,
-                    help="sampling rate for non-en strata (en keeps 1.0)")
-    args = ap.parse_args()
+def curate(
+    spark,
+    docs,
+    pack_len: int = 512,
+    jaccard: float = 0.1,
+    keep_rate_other: float = 0.25,
+):
+    """Run the curation funnel over a (doc_id, lang, text) DataFrame.
 
-    from pyspark.sql import SparkSession, Window
+    Returns ``(stages, report)``: ``stages`` maps stage name to its
+    output DataFrame (lazy; ``packed`` is the final curated corpus) and
+    ``report`` carries the per-stage row counts (computed eagerly — the
+    funnel audit trail).
+    """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    spark = (
-        SparkSession.builder.appName("curate-corpus")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
 
     from relation_extraction_transformer_spark.functions import minhash as MH
     from relation_extraction_transformer_spark.operators import packing as PK
-    from relation_extraction_transformer_spark.sources import tables as TB
 
-    docs = TB.read_table(spark, args.docs).select("doc_id", "lang", "text")
+    docs = docs.select("doc_id", "lang", "text")
+    stages = {"input": docs}
     report = {"input": docs.count()}
 
-    # 1. quality filter (same gates as the corpus_filter_decisions query)
+    # 1. quality filter (same gates as the corpus_filter_decisions query,
+    # minus its non_english gate — language balance is handled by the
+    # stratified sample below, not by dropping)
     toks = F.split("text", " ")
     n = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n
@@ -78,6 +78,7 @@ def main() -> None:
     kept = docs.filter(
         (n >= 10) & (n <= 5000) & (ttr >= 0.2) & (dup_bg <= 0.3)
     )
+    stages["quality"] = kept
     report["after_quality_filter"] = kept.count()
 
     # 2. exact dedup: keep the lowest doc_id per content hash
@@ -87,6 +88,7 @@ def main() -> None:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    stages["exact_dedup"] = kept
     report["after_exact_dedup"] = kept.count()
 
     # 3. near-dedup: LSH bands -> candidate pairs -> Jaccard verify ->
@@ -109,11 +111,12 @@ def main() -> None:
             F.col("inter").cast("double")
             / (F.size("sa") + F.size("sb") - F.col("inter")),
         )
-        .filter(F.col("jac") >= args.jaccard)
+        .filter(F.col("jac") >= jaccard)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     kept = kept.join(verified, "doc_id", "left_anti")
+    stages["near_dedup"] = kept
     report["after_near_dedup"] = kept.count()
 
     # 4. deterministic stratified sample (md5 uniform; no rand())
@@ -122,9 +125,10 @@ def main() -> None:
         16, 10,
     ).cast("double") / F.lit(float(1 << 32))
     rate = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(
-        F.lit(args.keep_rate_other)
+        F.lit(keep_rate_other)
     )
     kept = kept.filter(u < rate)
+    stages["sampled"] = kept
     report["after_sampling"] = kept.count()
 
     # 5. sequence packing, per language — scale-safe two-phase form
@@ -137,10 +141,46 @@ def main() -> None:
             "doc_id", "lang", "text",
             F.size(F.split("text", " ")).alias("n_tokens"),
         ),
-        pack_len=args.pack_len,
+        pack_len=pack_len,
         group_cols=("lang",),
     ).select("doc_id", "lang", "text", "pack_id", "pack_offset")
-    TB.write_table(packed, os.path.join(args.out, "curated"))
+    stages["packed"] = packed
+    return stages, report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet/table")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pack-len", type=int, default=512)
+    ap.add_argument("--jaccard", type=float, default=0.1,
+                    help="near-dup verify threshold on word-3-gram Jaccard")
+    ap.add_argument("--keep-rate-other", type=float, default=0.25,
+                    help="sampling rate for non-en strata (en keeps 1.0)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("curate-corpus")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from relation_extraction_transformer_spark.sources import tables as TB
+
+    docs = TB.read_table(spark, args.docs)
+    stages, report = curate(
+        spark,
+        docs,
+        pack_len=args.pack_len,
+        jaccard=args.jaccard,
+        keep_rate_other=args.keep_rate_other,
+    )
+    TB.write_table(stages["packed"], os.path.join(args.out, "curated"))
     report["packs"] = (
         spark.read.parquet(os.path.join(args.out, "curated"))
         .select("lang", "pack_id").distinct().count()

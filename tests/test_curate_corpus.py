@@ -1,0 +1,112 @@
+"""End-to-end gate for scripts/curate_corpus.py (VERDICT r3 #6): run the
+extracted curate() stages on the real sf0.001 documents table, pin the
+funnel counts, and check each stage's output against the corresponding
+oracle-paired contract query."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "scripts")
+)
+
+from curate_corpus import curate  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return curate(spark, docs, pack_len=512)
+
+
+def test_funnel_counts_monotone_and_complete(run):
+    stages, report = run
+    order = ["input", "after_quality_filter", "after_exact_dedup",
+             "after_near_dedup", "after_sampling"]
+    assert list(report) == order
+    vals = [report[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[0] > 0 and vals[-1] > 0
+    # packing is 1:1 with sampling survivors
+    assert stages["packed"].count() == report["after_sampling"]
+
+
+def test_quality_stage_matches_contract_query(run, spark):
+    """Stage 1 keeps exactly the docs the corpus_filter_decisions query
+    keeps, modulo its non_english gate (the script balances languages by
+    sampling instead of dropping)."""
+    import __spark_entry__ as entry
+
+    stages, _ = run
+    dec = entry.queries()["corpus_filter_decisions"](spark, SF_DIR)
+    want = {
+        r.doc_id
+        for r in dec.collect()
+        if r.drop_reasons in ("", "non_english")
+    }
+    got = {r.doc_id for r in stages["quality"].select("doc_id").collect()}
+    assert got == want
+
+
+def test_exact_dedup_stage_keeps_lowest_id_per_content(run, spark):
+    stages, _ = run
+    quality = stages["quality"]
+    want = {
+        r.keep_id
+        for r in quality.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .collect()
+    }
+    got = {r.doc_id for r in stages["exact_dedup"].select("doc_id").collect()}
+    assert got == want
+
+
+def test_sampling_stage_matches_contract_query(run, spark):
+    """Stage 4 membership must be the stratified_sample query's md5
+    criterion restricted to near-dedup survivors (the uniform is a pure
+    function of doc_id, so set-intersection is exact)."""
+    import __spark_entry__ as entry
+
+    stages, _ = run
+    sample_all = {
+        r.doc_id
+        for r in entry.queries()["stratified_sample"](spark, SF_DIR).collect()
+    }
+    before = {r.doc_id for r in stages["near_dedup"].select("doc_id").collect()}
+    got = {r.doc_id for r in stages["sampled"].select("doc_id").collect()}
+    assert got == before & sample_all
+
+
+def test_packed_output_shape(run):
+    stages, _ = run
+    packed = stages["packed"].collect()
+    assert {c for c in stages["packed"].columns} == {
+        "doc_id", "lang", "text", "pack_id", "pack_offset"
+    }
+    # per-language pack ids start at 0 and offsets stay within pack_len
+    by_lang = {}
+    for r in packed:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert 0 <= r.pack_offset < 512
+    for lang, rows in by_lang.items():
+        assert min(r.pack_id for r in rows) == 0, lang
+
+
+def test_funnel_counts_golden(run):
+    """Deterministic end-to-end funnel at sf0.001 — pinned so a silent
+    semantic change in any stage fails loudly.  (Update deliberately if
+    a stage's contract changes.)"""
+    _, report = run
+    assert report == {
+        "input": 500,
+        "after_quality_filter": 500,
+        "after_exact_dedup": 500,
+        "after_near_dedup": 477,
+        "after_sampling": 249,
+    }
