@@ -43,6 +43,7 @@ def curate(
     pack_len: int = 512,
     jaccard: float = 0.1,
     keep_rate_other: float = 0.25,
+    bpe_merges: int = 0,
 ):
     """Run the curation funnel over a (doc_id, lang, text) DataFrame.
 
@@ -50,11 +51,19 @@ def curate(
     output DataFrame (lazy; ``packed`` is the final curated corpus) and
     ``report`` carries the per-stage row counts (computed eagerly — the
     funnel audit trail).
+
+    ``bpe_merges > 0`` additionally learns a BPE merge table of that
+    size on the sampled corpus, tokenizes it corpus-wide
+    (operators/bpe.py::bpe_encode), and packs by BPE token counts
+    instead of whitespace counts — the shape an LLM pretraining pipeline
+    actually ships (packs measured in model tokens).  The tokenized
+    frame is exposed as ``stages["tokenized"]``.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from relation_extraction_transformer_spark.functions import minhash as MH
+    from relation_extraction_transformer_spark.operators import bpe as BPE
     from relation_extraction_transformer_spark.operators import packing as PK
 
     docs = docs.select("doc_id", "lang", "text")
@@ -131,19 +140,35 @@ def curate(
     stages["sampled"] = kept
     report["after_sampling"] = kept.count()
 
-    # 5. sequence packing, per language — scale-safe two-phase form
+    # 5. (optional) BPE-tokenize the surviving corpus and pack by model
+    # tokens; otherwise pack by whitespace token counts
+    if bpe_merges > 0:
+        merges = BPE.learn_bpe(kept, n_merges=bpe_merges)
+        report["bpe_merges_learned"] = len(merges)
+        tokenized = BPE.bpe_encode(
+            kept.select("doc_id", "lang", "text"), merges
+        )
+        stages["tokenized"] = tokenized
+        to_pack = tokenized.select(
+            "doc_id", "lang", "text",
+            F.size("bpe_tokens").alias("n_tokens"),
+        )
+    else:
+        to_pack = kept.select(
+            "doc_id", "lang", "text",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+
+    # 6. sequence packing, per language — scale-safe two-phase form
     # (operators/packing.py).  A plain Window.partitionBy("lang") would
     # funnel the dominant-language stratum through one task; the packer
     # range-shards WITHIN each language and offsets by broadcast shard
     # totals, so no single task ever sees a whole stratum.
     packed = PK.pack_segments(
-        kept.select(
-            "doc_id", "lang", "text",
-            F.size(F.split("text", " ")).alias("n_tokens"),
-        ),
+        to_pack,
         pack_len=pack_len,
         group_cols=("lang",),
-    ).select("doc_id", "lang", "text", "pack_id", "pack_offset")
+    ).select("doc_id", "lang", "text", "n_tokens", "pack_id", "pack_offset")
     stages["packed"] = packed
     return stages, report
 
@@ -157,6 +182,9 @@ def main() -> None:
                     help="near-dup verify threshold on word-3-gram Jaccard")
     ap.add_argument("--keep-rate-other", type=float, default=0.25,
                     help="sampling rate for non-en strata (en keeps 1.0)")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="if > 0, learn a BPE merge table of this size on "
+                         "the sampled corpus and pack by BPE token counts")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -179,6 +207,7 @@ def main() -> None:
         pack_len=args.pack_len,
         jaccard=args.jaccard,
         keep_rate_other=args.keep_rate_other,
+        bpe_merges=args.bpe_merges,
     )
     TB.write_table(stages["packed"], os.path.join(args.out, "curated"))
     report["packs"] = (

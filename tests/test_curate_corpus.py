@@ -87,7 +87,7 @@ def test_packed_output_shape(run):
     stages, _ = run
     packed = stages["packed"].collect()
     assert {c for c in stages["packed"].columns} == {
-        "doc_id", "lang", "text", "pack_id", "pack_offset"
+        "doc_id", "lang", "text", "n_tokens", "pack_id", "pack_offset"
     }
     # per-language pack ids start at 0 and offsets stay within pack_len
     by_lang = {}
@@ -96,6 +96,28 @@ def test_packed_output_shape(run):
         assert 0 <= r.pack_offset < 512
     for lang, rows in by_lang.items():
         assert min(r.pack_id for r in rows) == 0, lang
+
+
+def test_bpe_packing_mode(spark):
+    """--bpe-merges: the funnel tokenizes the sampled corpus with a
+    learned merge table and packs by BPE token counts; every pack count
+    must equal the driver-side encode of that doc's text."""
+    from relation_extraction_transformer_spark.operators import bpe as BPE
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stages, report = curate(spark, docs, pack_len=256, bpe_merges=25)
+    assert report["bpe_merges_learned"] == 25
+    merges = BPE.learn_bpe(stages["sampled"], n_merges=25)
+    packed = stages["packed"].collect()
+    assert len(packed) == report["after_sampling"]
+    for r in packed[:40]:
+        want = sum(
+            len(BPE.encode_word(w, merges))
+            for w in r.text.split(" ") if w
+        )
+        assert r.n_tokens == want, r.doc_id
+    # packing by BPE counts is internally consistent: offsets < pack_len
+    assert all(0 <= r.pack_offset < 256 for r in packed)
 
 
 def test_funnel_counts_golden(run):

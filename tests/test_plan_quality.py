@@ -120,3 +120,20 @@ def test_minhash_bands_plan_is_narrow(spark):
     assert "Exchange" not in plan, "minhash signatures must not shuffle"
     assert "HashAggregate" not in plan, "no per-shingle aggregation"
     assert "explode" not in plan, "no shingle explode (stack unpivot ok)"
+
+
+def test_bpe_encode_plan_is_narrow(spark):
+    """Corpus-wide BPE encoding must be embarrassingly parallel: exactly
+    one MapInPandas, zero Exchange (the merge table travels in the
+    closure, not through a join)."""
+    from relation_extraction_transformer_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    plan = _plan(BPE.bpe_encode(docs, merges))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
