@@ -110,8 +110,17 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # non-duplicative query.  distinct_users_per_type duplicates the
 # count-distinct surface already covered by tumbling_hourly_counts /
 # cube_event_stats; bpe_token_stats duplicates token_stats' shape over
-# the same column.
-_DEFERRED_PAST_DRIVER_CAP = ("distinct_users_per_type", "bpe_token_stats")
+# the same column; the round-4 additions (cross-doc n-gram dedup,
+# decontamination, unigram-LM scoring, URL canonicalization) keep the
+# round-3 battery stable rather than displacing its driver-green rows.
+_DEFERRED_PAST_DRIVER_CAP = (
+    "distinct_users_per_type",
+    "bpe_token_stats",
+    "dup_ngram_spans",
+    "decontamination_overlap",
+    "unigram_logprob",
+    "url_canonical_dedup",
+)
 _DRIVER_CAP = 50
 
 

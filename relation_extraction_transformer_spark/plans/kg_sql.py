@@ -553,3 +553,77 @@ KG_REGISTRY["media_meta"] = QuerySpec(
     FROM read_parquet('{MEDIA_PARQUET}')
     """,
 )
+
+
+def _url_canonical_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization + dedup: tracking params,
+    fragments, www prefixes, case-variant hosts and trailing slashes all
+    alias the same resource, and a crawler that misses this refetches
+    (and a dedup that misses it double-counts).  The frozen fixture's
+    urls are already clean, so — like dedup_exact / media_dedup — the
+    query self-plants deterministic messy variants (every 10th article:
+    a ?utm/#fragment variant and an upper-cased www./trailing-slash
+    variant) identically in both engines, then canonicalizes and groups.
+    Pure narrow string expressions + one groupBy — scale-safe."""
+    pages = spark.read.parquet(PAGES_PARQUET).select("url")
+    art = F.regexp_extract("url", r"([0-9]+)$", 1).cast("long")
+    tenth = pages.filter(art % 10 == 0)
+    planted = pages.unionAll(
+        tenth.select(
+            F.concat(F.col("url"), F.lit("?utm_source=feed&ref=rss#frag"))
+            .alias("url")
+        )
+    ).unionAll(
+        tenth.select(
+            F.concat(
+                F.regexp_replace("url", r"^https://", "https://WWW."),
+                F.lit("/"),
+            ).alias("url")
+        )
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"[?#].*$", ""),
+            r"^https://www\.", "https://",
+        ),
+        r"/$", "",
+    )
+    return (
+        planted.select(canon.alias("canonical_url"), "url")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("url").alias("first_variant"),
+        )
+    )
+
+
+KG_REGISTRY["url_canonical_dedup"] = QuerySpec(
+    spark=_url_canonical_dedup_spark,
+    oracle=f"""
+    WITH pages AS (
+      SELECT url FROM read_parquet('{PAGES_PARQUET}')
+    ),
+    tenth AS (
+      SELECT url FROM pages
+      WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 10 = 0
+    ),
+    planted AS (
+      SELECT url FROM pages
+      UNION ALL
+      SELECT url || '?utm_source=feed&ref=rss#frag' FROM tenth
+      UNION ALL
+      SELECT regexp_replace(url, '^https://', 'https://WWW.') || '/'
+      FROM tenth
+    )
+    SELECT regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '[?#].*$', ''),
+               '^https://www\\.', 'https://'),
+             '/$', '') AS canonical_url,
+           COUNT(*) AS n_variants,
+           MIN(url) AS first_variant
+    FROM planted
+    GROUP BY 1
+    """,
+)

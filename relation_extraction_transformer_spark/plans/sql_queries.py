@@ -2107,3 +2107,217 @@ register(
     GROUP BY t.doc_id
     """,
 )(_spark_rare_token_ratio)
+
+
+# ===========================================================================
+# §7 Round-4 LLM-pipeline extensions: cross-doc n-gram duplication,
+# benchmark decontamination, unigram-LM scoring
+# ===========================================================================
+
+_NGRAM_N = 5
+
+
+def _ngram_col(toks):
+    """Distinct word n-grams of a (materialized) token-array column.
+    ``toks`` must be a plain column reference, not a computed expression:
+    a computed expr referenced inside the transform lambda re-evaluates
+    per element (the O(len^2) pitfall documented in functions/minhash.py)."""
+    n = _NGRAM_N
+    # NB: guard short docs explicitly — Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0], not an empty array (DuckDB's range(1, 1) is empty)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _spark_dup_ngram_spans(spark, sf):
+    """Cross-document duplicated n-gram detection (the signal behind
+    exact-substring dedup a la Lee et al. 2022 'Deduplicating Training
+    Data Makes Language Models Better'): for every doc, how many of its
+    distinct 5-grams also appear in at least one OTHER document.  The
+    scale shape is explode -> distinct -> count-per-ngram -> semi join —
+    all shuffle-partitioned by ngram, never all-pairs."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    pairs = (
+        docs.select("doc_id", F.explode(_ngram_col(F.col("toks"))).alias("g"))
+        .filter(F.col("g") != "")
+    )
+    dup = (
+        pairs.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    per_doc = pairs.join(dup, "g", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_ngrams")
+    )
+    totals = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams")
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias("n_dup_ngrams"),
+        F.round(
+            F.coalesce("n_dup_ngrams", F.lit(0)).cast("double")
+            / F.col("n_ngrams"),
+            6,
+        ).alias("dup_ngram_ratio"),
+    )
+
+
+register(
+    "dup_ngram_spans",  # cross-doc duplicated 5-grams (substring-dedup signal)
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(l) - {_NGRAM_N - 1}, 0) + 1),
+                 i -> array_to_string(l[i:i+{_NGRAM_N - 1}], ' ')
+               )) AS gram
+        FROM d
+      ) WHERE gram <> ''
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_ngrams,
+           ROUND(CAST(SUM(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_ngram_ratio
+    FROM g LEFT JOIN dup ON dup.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)(_spark_dup_ngram_spans)
+
+
+def _spark_decontamination_overlap(spark, sf):
+    """Benchmark decontamination check: treat every 50th doc as the
+    held-out 'benchmark' set and measure, per benchmark doc, what
+    fraction of its distinct 5-grams leak into the REST of the corpus
+    (the train/test-overlap scan an LLM data pipeline runs before
+    training).  Bucketed by ngram — never a doc x doc join."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(_ngram_col(F.col("toks"))).alias("g")
+    ).filter(F.col("g") != "")
+    bench = grams.filter(F.col("doc_id") % 50 == 0)
+    corpus = grams.filter(F.col("doc_id") % 50 != 0).select("g").distinct()
+    leaked = bench.join(corpus, "g", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_leaked")
+    )
+    return (
+        bench.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ngrams"))
+        .join(leaked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+            F.round(
+                F.coalesce("n_leaked", F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+register(
+    "decontamination_overlap",  # benchmark-vs-corpus n-gram leakage
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(l) - {_NGRAM_N - 1}, 0) + 1),
+                 i -> array_to_string(l[i:i+{_NGRAM_N - 1}], ' ')
+               )) AS gram
+        FROM d
+      ) WHERE gram <> ''
+    ),
+    corpus AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 50 <> 0
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked,
+           ROUND(CAST(SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS contamination_ratio
+    FROM g LEFT JOIN corpus c ON c.gram = g.gram
+    WHERE g.doc_id % 50 = 0
+    GROUP BY g.doc_id
+    """,
+)(_spark_decontamination_overlap)
+
+
+def _spark_unigram_logprob(spark, sf):
+    """Unigram-LM document scoring (the cheapest 'perplexity' quality
+    signal): fit unigram probabilities on the whole corpus in one
+    aggregation, then score every document by its mean token
+    log-probability.  The frequency table is vocabulary-sized ->
+    broadcast join against the exploded token stream; per-token logs are
+    quantized to 6 decimals BEFORE the DECIMAL sum so the reduction is
+    order-independent and engine-exact (module header rules)."""
+    toks = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt")).first()[0]
+    lp = F.round(
+        F.log(F.col("cnt").cast("double") / F.lit(float(total))), 6
+    ).cast("decimal(18,6)")
+    scored = toks.join(F.broadcast(freq.withColumn("lp", lp)), "tok")
+    # report the exact DECIMAL sum (not the mean: an average can land on
+    # a half-way 6-decimal boundary where the engines' decimal-vs-double
+    # division rounds apart); consumers divide by n_tokens themselves
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").cast("double").alias("sum_logprob"),
+    )
+
+
+register(
+    "unigram_logprob",  # unigram-LM quality scoring (cheap perplexity)
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    lp AS (
+      SELECT tok,
+             CAST(ROUND(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM freq
+    )
+    SELECT t2.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lp.lp) AS DOUBLE) AS sum_logprob
+    FROM t2 JOIN lp ON lp.tok = t2.tok
+    GROUP BY t2.doc_id
+    """,
+)(_spark_unigram_logprob)
