@@ -120,6 +120,8 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "decontamination_overlap",
     "unigram_logprob",
     "url_canonical_dedup",
+    "kg_degree_distribution",
+    "kg_pagerank",
 )
 _DRIVER_CAP = 50
 

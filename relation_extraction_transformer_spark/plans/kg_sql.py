@@ -627,3 +627,160 @@ KG_REGISTRY["url_canonical_dedup"] = QuerySpec(
     GROUP BY 1
     """,
 )
+
+
+def _kg_degree_distribution_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics surface over the extracted KG: in/out degree
+    distribution of the distinct (subj -> obj) edge set — the first
+    sanity report a graph build ships (hub detection, skew sizing for
+    the downstream joins).  Two groupBys over a distinct edge list."""
+    tri = spark.read.parquet(TRIPLES_PARQUET)
+    edges = tri.select("subj", "obj").distinct()
+    out_deg = edges.groupBy(F.col("subj").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    in_deg = edges.groupBy(F.col("obj").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        out_deg.select(F.lit("out").alias("direction"), "degree")
+        .unionAll(in_deg.select(F.lit("in").alias("direction"), "degree"))
+        .groupBy("direction", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+KG_REGISTRY["kg_degree_distribution"] = QuerySpec(
+    spark=_kg_degree_distribution_spark,
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT subj, obj FROM read_parquet('{TRIPLES_PARQUET}')
+    ),
+    degs AS (
+      SELECT 'out' AS direction, subj AS node, COUNT(*) AS degree
+      FROM edges GROUP BY subj
+      UNION ALL
+      SELECT 'in' AS direction, obj AS node, COUNT(*) AS degree
+      FROM edges GROUP BY obj
+    )
+    SELECT direction, degree, COUNT(*) AS n_nodes
+    FROM degs GROUP BY direction, degree
+    """,
+)
+
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _kg_pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the extracted entity graph, {_PR_ITERS} power
+    iterations at damping {_PR_DAMP} — the canonical iterative graph
+    algorithm, expressed as repeated (pr JOIN edges ON src -> groupBy
+    dst) rounds.  Cross-engine exactness: every per-edge contribution
+    and every new rank is ROUND(..., 12)-quantized to DECIMAL(28,12)
+    before the order-independent DECIMAL sum, so Spark and DuckDB agree
+    bit-for-bit (module header rules).  Dangling-node mass is dropped
+    (identically in both engines) rather than redistributed.
+
+    Scale shape: per iteration one shuffle join on src + one aggregation
+    on dst — the standard distributed PR round; at real scale the rank
+    frame is checkpointed/persisted between rounds and the edge list is
+    pre-partitioned by src so the join is co-located."""
+    tri = spark.read.parquet(TRIPLES_PARQUET)
+    edges = tri.select("subj", "obj").distinct().persist()
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionAll(edges.select(F.col("obj").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    # HALF_UP rounding via F.round in BOTH init values — python round()
+    # is half-even and can disagree with the engines' ROUND at a
+    # boundary digit
+    base = F.round(F.lit(0.15) / F.lit(float(n)), 12)
+    out_deg = edges.groupBy(F.col("subj").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    pr = nodes.withColumn(
+        "pr",
+        F.round(F.lit(1.0) / F.lit(float(n)), 12).cast("decimal(28,12)"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "subj"), "subj")
+            .join(out_deg.withColumnRenamed("node", "subj"), "subj")
+            .select(
+                F.col("obj").alias("node"),
+                F.round(
+                    F.col("pr").cast("double") / F.col("outdeg"), 12
+                ).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                base
+                + F.lit(_PR_DAMP)
+                * F.coalesce(F.col("mass").cast("double"), F.lit(0.0)),
+                12,
+            ).cast("decimal(28,12)").alias("pr"),
+        )
+    return pr.select("node", F.col("pr").cast("double").alias("pagerank"))
+
+
+def _pagerank_oracle() -> str:
+    iters = ""
+    prev = "pr0"
+    for k in range(1, _PR_ITERS + 1):
+        iters += f""",
+    c{k} AS (
+      SELECT e.obj AS node,
+             SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) / d.outdeg, 12)
+                      AS DECIMAL(28,12))) AS mass
+      FROM edges e
+      JOIN {prev} p ON p.node = e.subj
+      JOIN outdeg d ON d.node = e.subj
+      GROUP BY e.obj
+    ),
+    pr{k} AS (
+      SELECT n.node,
+             CAST(ROUND((SELECT base FROM consts)
+                        + CAST({_PR_DAMP} AS DOUBLE)
+                          * COALESCE(CAST(c.mass AS DOUBLE),
+                                     CAST(0.0 AS DOUBLE)),
+                        12) AS DECIMAL(28,12)) AS pr
+      FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+    )"""
+        prev = f"pr{k}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT subj, obj FROM read_parquet('{TRIPLES_PARQUET}')
+    ),
+    nodes AS (
+      SELECT subj AS node FROM edges UNION SELECT obj FROM edges
+    ),
+    consts AS (
+      SELECT COUNT(*) AS n,
+             ROUND(CAST(0.15 AS DOUBLE) / COUNT(*), 12) AS base
+      FROM nodes
+    ),
+    outdeg AS (
+      SELECT subj AS node, COUNT(*) AS outdeg FROM edges GROUP BY subj
+    ),
+    pr0 AS (
+      SELECT node,
+             CAST(ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM consts), 12)
+                  AS DECIMAL(28,12)) AS pr
+      FROM nodes
+    ){iters}
+    SELECT node, CAST(pr AS DOUBLE) AS pagerank FROM {prev}
+    """
+
+
+KG_REGISTRY["kg_pagerank"] = QuerySpec(
+    spark=_kg_pagerank_spark, oracle=_pagerank_oracle()
+)
