@@ -122,6 +122,9 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "url_canonical_dedup",
     "kg_degree_distribution",
     "kg_pagerank",
+    "pii_redaction",
+    "boilerplate_lines",
+    "kg_triangle_count",
 )
 _DRIVER_CAP = 50
 

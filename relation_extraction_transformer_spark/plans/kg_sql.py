@@ -784,3 +784,131 @@ def _pagerank_oracle() -> str:
 KG_REGISTRY["kg_pagerank"] = QuerySpec(
     spark=_kg_pagerank_spark, oracle=_pagerank_oracle()
 )
+
+
+def _kg_triangle_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the extracted
+    entity graph — the standard structure report for a freshly built KG
+    (community density, hub sanity).
+
+    Algorithm: degree-oriented "compact-forward" counting.  Undirected
+    edges are oriented from the endpoint with the smaller (degree, node)
+    to the larger, making a DAG in which every triangle has exactly one
+    node with two out-edges — so joining two out-edges of the same node
+    with the oriented edge that closes them counts each triangle exactly
+    once.  The orientation is the 100-TB-scale load-bearing choice: a
+    hub of degree d contributes O(d^2) join pairs under naive vertex-id
+    ordering but only pairs among its *higher-degree* neighbours here,
+    which bounds the heaviest key at O(m^1.5) total work on any graph
+    (the classic result the GraphFrames/Spark triangle count also
+    relies on).  Wedges = sum_v C(deg_v, 2); clustering =
+    3*triangles/wedges, one IEEE double division + ROUND(,6) so both
+    engines agree bit-for-bit."""
+    tri = spark.read.parquet(TRIPLES_PARQUET)
+    und = (
+        tri.filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    keyed = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    # a < b lexically always (least/greatest), so (da < db) or equal-degree
+    # falls back to the lexical order — a strict total order
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).persist()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    triangles = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") != F.col("e2.dst")),
+    ).join(
+        e3,
+        (F.col("e3.src") == F.col("e1.dst"))
+        & (F.col("e3.dst") == F.col("e2.dst")),
+    )
+    n_tri = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.floor(F.col("deg") * (F.col("deg") - 1) / 2))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    return (
+        node_stats.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+
+
+KG_REGISTRY["kg_triangle_count"] = QuerySpec(
+    spark=_kg_triangle_count_spark,
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM read_parquet('{TRIPLES_PARQUET}')
+      WHERE subj <> obj
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND und.a < und.b)
+                  THEN und.a ELSE und.b END AS src,
+             CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND und.a < und.b)
+                  THEN und.b ELSE und.a END AS dst
+      FROM und
+      JOIN deg x ON x.node = und.a
+      JOIN deg y ON y.node = und.b
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) > 0
+                THEN ROUND(3.0 * CAST((SELECT n_triangles FROM tri) AS DOUBLE)
+                           / (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
+                              FROM deg), 6)
+                ELSE 0.0 END AS clustering
+    """,
+)

@@ -2321,3 +2321,194 @@ register(
     GROUP BY t2.doc_id
     """,
 )(_spark_unigram_logprob)
+
+
+# ===========================================================================
+# §8 Web-corpus compliance + structure: PII redaction, line-level boilerplate
+# ===========================================================================
+
+# The testdata word-salad carries no natural PII or repeated lines, so both
+# queries plant deterministic positives from doc_id arithmetic (same idiom
+# as dedup_exact) — every engine sees the identical planted corpus and the
+# redaction/removal itself is what is under cross-engine test.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _spark_pii_redaction(spark, sf):
+    """PII scrub over web text (emails / phone numbers / IPv4) — the
+    compliance stage every crawl-derived training corpus runs before
+    release.  Counts matches per class on the planted text, then chains
+    three regexp_replace passes (email -> phone -> ip) and fingerprints
+    the redacted output so the oracle verifies byte-identical redaction,
+    not just identical counts.  All-narrow column expressions — no
+    shuffle, no UDF; scales as a pure map stage.  DuckDB dialect notes:
+    its regexp_replace is first-match-only without the 'g' flag (the
+    oracle passes it), and list len() is cast to BIGINT to match
+    Spark's size() after the cast."""
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact alice."),
+        did.cast("string"),
+        F.lit("@example-mail.com"),
+    )
+    phone = F.concat(
+        F.lit(" call 415-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."),
+        (did % 200).cast("string"),
+        F.lit("."),
+        ((did * 7) % 200).cast("string"),
+        F.lit("."),
+        (did % 250).cast("string"),
+    )
+    planted = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, email).otherwise(F.lit("")),
+            F.when(did % 4 == 0, phone).otherwise(F.lit("")),
+            F.when(did % 5 == 0, ip).otherwise(F.lit("")),
+        ).alias("pii_text"),
+    )
+
+    def n_hits(pat):
+        return F.size(
+            F.regexp_extract_all("pii_text", F.lit(pat), 0)
+        ).cast("bigint")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("pii_text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return planted.select(
+        "doc_id",
+        n_hits(_PII_EMAIL).alias("n_emails"),
+        n_hits(_PII_PHONE).alias("n_phones"),
+        n_hits(_PII_IP).alias("n_ips"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+register(
+    "pii_redaction",  # email/phone/IP scrub, byte-exact cross-engine
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact alice.' || CAST(doc_id AS VARCHAR)
+                       || '@example-mail.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' call 415-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                       || CAST(doc_id * 7 % 200 AS VARCHAR) || '.'
+                       || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+             AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(pii_text, '{_PII_IP}')) AS BIGINT)
+             AS n_ips,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(pii_text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS redacted_fp
+    FROM planted
+    """,
+)(_spark_pii_redaction)
+
+
+_BP_HEADER = "cookie notice this site uses cookies to improve your experience"
+_BP_FOOTER = "copyright 2024 example corp all rights reserved"
+_BP_DF_THRESHOLD = 20
+
+
+def _spark_boilerplate_lines(spark, sf):
+    """CCNet-style line-level boilerplate removal: hash every line of the
+    corpus, count the number of DISTINCT documents each exact line
+    appears in, and drop lines whose document frequency crosses a
+    threshold (cookie banners, nav bars, copyright footers survive the
+    per-document dedup because every page carries them once).  Planted
+    positive path: a header line on every 4th doc and a footer line on
+    every 5th (df ~125 and ~100 >> threshold _BP_DF_THRESHOLD); each
+    document's own body line is globally unique (df 1).
+
+    Scale shape: one groupBy(line) for document frequency; the
+    boilerplate set (df >= T) is tiny — broadcast back against the line
+    stream, so the only wide stage is the DF aggregation.  At real
+    crawl scale the line key is md5(line) and the DISTINCT doc count is
+    a (doc_id, line) pre-distinct — same plan shape."""
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    lines = (
+        docs.filter(did % 4 == 0)
+        .select("doc_id", F.lit(_BP_HEADER).alias("line"))
+        .unionAll(docs.select("doc_id", F.col("text").alias("line")))
+        .unionAll(
+            docs.filter(did % 5 == 0).select(
+                "doc_id", F.lit(_BP_FOOTER).alias("line")
+            )
+        )
+    )
+    docfreq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = docfreq.filter(
+        F.col("df") >= _BP_DF_THRESHOLD
+    ).select("line", F.lit(1).alias("bp"))
+    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("bp").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate"),
+        F.sum(F.when(F.col("bp").isNull(), F.length("line")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+register(
+    "boilerplate_lines",  # line-level corpus dedup (CCNet-style)
+    f"""
+    WITH lines AS (
+      SELECT doc_id, '{_BP_HEADER}' AS line FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id, text AS line FROM documents
+      UNION ALL
+      SELECT doc_id, '{_BP_FOOTER}' AS line FROM documents WHERE doc_id % 5 = 0
+    ),
+    docfreq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+    ),
+    boiler AS (
+      SELECT line FROM docfreq WHERE df >= {_BP_DF_THRESHOLD}
+    )
+    SELECT l.doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           CAST(SUM(CASE WHEN b.line IS NULL THEN length(l.line) ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM lines l LEFT JOIN boiler b ON b.line = l.line
+    GROUP BY l.doc_id
+    """,
+)(_spark_boilerplate_lines)

@@ -249,3 +249,37 @@ def test_graph_cardinality_metrics_close_to_exact(spark):
     plan = GR.graph_cardinality_metrics(edges)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "approx_count_distinct" in plan or "HyperLogLog" in plan
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """kg_triangle_count's degree-oriented compact-forward join vs an
+    independent adjacency-set brute force over the frozen triples
+    artifact — guards the orientation logic (a shared-bug risk between
+    the Spark plan and its DuckDB twin, which use the same algorithm)."""
+    import itertools
+
+    import pandas as pd
+
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    row = KQ.KG_REGISTRY["kg_triangle_count"].spark(spark, "").toPandas().iloc[0]
+
+    tri = pd.read_parquet(KQ.TRIPLES_PARQUET, columns=["subj", "obj"])
+    tri = tri[tri.subj != tri.obj]
+    edges = {tuple(sorted(p)) for p in zip(tri.subj, tri.obj)}
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = sum(
+        1
+        for v, nbrs in adj.items()
+        for x, y in itertools.combinations(sorted(nbrs), 2)
+        if v < x and y in adj[x]  # v smallest name -> count once
+    )
+    n_wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    assert int(row.n_nodes) == len(adj)
+    assert int(row.n_edges) == len(edges)
+    assert int(row.n_wedges) == n_wedges
+    assert int(row.n_triangles) == n_tri
+    assert row.clustering == round(3.0 * n_tri / n_wedges, 6)
