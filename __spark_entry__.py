@@ -125,6 +125,7 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "pii_redaction",
     "boilerplate_lines",
     "kg_triangle_count",
+    "kg_kcore",
 )
 _DRIVER_CAP = 50
 

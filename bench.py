@@ -365,18 +365,35 @@ def main() -> None:
         same host regime (this vCPU host shows tens-of-minutes steal
         episodes that can sit on one core-count's measurements; a single
         interleaved pair cannot outlast them, but the matched control
-        detects them).  Attempts repeat while the raw efficiency is
+        detects them).
+
+        The recorded figure is the POOLED best-of-all-walls efficiency:
+        min over every timed wall of one side, across all attempts,
+        divided by the same for the other side.  Steal noise on this
+        host is strictly additive (the job is deterministic), so the
+        minimum over k draws is the tightest available estimate of the
+        noise-free wall on each side — and unlike "best attempt by raw
+        efficiency", the pooled estimator cannot be inflated by one
+        steal-slowed small-core draw (a 1.03 'superlinear' record
+        observed in practice: slow 2-core window + clean 8-core window
+        in the SAME attempt).  Attempts repeat while the pooled value is
         outside the plausibility band (symmetric: a slow LARGE side
-        under-reads, a slow SMALL side over-reads); the recorded figure
-        is the best attempt's raw efficiency with its own matched-window
-        normalization, and every attempt's walls and ceiling are
-        published."""
+        under-reads, a slow SMALL side over-reads); every attempt's
+        walls and matched-window NumPy ceiling are published.  The
+        ceiling used for normalization is the cleanest (highest) control
+        across attempts, capped at 1.0 — the best available estimate of
+        the hardware's own scaling limit."""
         attempts = []
         n = 0
+        all_small: list[float] = []
+        all_large: list[float] = []
+        pooled = 0.0
         for _ in range(max_attempts):
             w_large, n = measure(c_large, path, warm_path)
             ceiling = numpy_ceiling_control(c_small, c_large)
             w_small, _ = measure(c_small, path, warm_path)
+            all_large += w_large
+            all_small += w_small
             eff = round(
                 (min(w_small) / min(w_large)) / (c_large / c_small), 3
             )
@@ -391,26 +408,27 @@ def main() -> None:
                     ),
                 }
             )
-            if band[0] <= eff <= band[1]:
+            pooled = round(
+                (min(all_small) / min(all_large)) / (c_large / c_small), 3
+            )
+            if band[0] <= pooled <= band[1]:
                 break
-        best = max(attempts, key=lambda a: a["efficiency"])
+        best_ceiling = min(
+            1.0,
+            max(a["numpy_host_ceiling"]["efficiency"] for a in attempts),
+        )
         return {
             "pages": pages,
             "triples": n,
             "cores_small": c_small,
             "cores_large": c_large,
             "attempts": attempts,
-            "triples_per_sec_small": round(
-                n / min(best["raw_walls_small_sec"]), 1
-            ),
-            "triples_per_sec_large": round(
-                n / min(best["raw_walls_large_sec"]), 1
-            ),
-            "efficiency": best["efficiency"],
-            "numpy_host_ceiling": best["numpy_host_ceiling"],
-            "efficiency_vs_host_ceiling": best[
-                "efficiency_vs_host_ceiling"
-            ],
+            "triples_per_sec_small": round(n / min(all_small), 1),
+            "triples_per_sec_large": round(n / min(all_large), 1),
+            "efficiency": pooled,
+            "estimator": "pooled best-of-all-walls across attempts",
+            "numpy_host_ceiling_best": best_ceiling,
+            "efficiency_vs_host_ceiling": round(pooled / best_ceiling, 3),
         }
 
     # PRIMARY: local[2] -> local[8] on the LARGE (8x) corpus — at the

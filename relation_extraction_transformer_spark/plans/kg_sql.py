@@ -912,3 +912,99 @@ KG_REGISTRY["kg_triangle_count"] = QuerySpec(
                 ELSE 0.0 END AS clustering
     """,
 )
+
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 4
+
+
+def _kg_kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={K}) of the extracted entity graph by
+    iterative peeling: drop every node whose degree in the surviving
+    subgraph is < k, re-induce, repeat.  {R} fixed rounds — enough for
+    convergence on this graph (the pytest gate proves the fixpoint by
+    running the same peel with an unbounded while-loop in plain Python
+    and asserting identical survivors), and fixed so the DuckDB twin can
+    unroll the identical computation.
+
+    Scale shape: each round is one degree aggregation plus two semi-joins
+    against the (shrinking) alive set — the same driver-loop shape as the
+    canonicalizer's min-label propagation.  Each round's edge frame is
+    localCheckpoint()-ed: the round references its input FOUR times
+    (twice in the degree union, once per semi-join side), so an
+    unmaterialized loop grows the logical plan ~4^rounds and OOMs the
+    driver during analysis long before any data moves — the checkpoint
+    pins plan depth constant, exactly as in canonicalize.py.  At real
+    scale the alive set is additionally broadcast once it fits (it only
+    shrinks)."""
+    tri = spark.read.parquet(TRIPLES_PARQUET)
+    edges = (
+        tri.filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            degrees(edges)
+            .filter(F.col("core_degree") >= _KCORE_K)
+            .select("node")
+        )
+        edges = (
+            edges.join(
+                alive.withColumnRenamed("node", "a"), "a", "left_semi"
+            )
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return degrees(edges).filter(F.col("core_degree") >= _KCORE_K)
+
+
+_kg_kcore_spark.__doc__ = _kg_kcore_spark.__doc__.replace(
+    "{K}", str(_KCORE_K)
+).replace("{R}", str(_KCORE_ROUNDS))
+
+
+def _kcore_oracle() -> str:
+    rounds = ""
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds += f""",
+    d{r} AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+      ) GROUP BY node
+    ),
+    a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT a, b FROM {prev}
+      WHERE a IN (SELECT node FROM a{r}) AND b IN (SELECT node FROM a{r})
+    )"""
+        prev = f"e{r}"
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM read_parquet('{TRIPLES_PARQUET}')
+      WHERE subj <> obj
+    ){rounds}
+    SELECT node, COUNT(*) AS core_degree FROM (
+      SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+    ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    """
+
+
+KG_REGISTRY["kg_kcore"] = QuerySpec(
+    spark=_kg_kcore_spark, oracle=_kcore_oracle()
+)

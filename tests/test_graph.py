@@ -283,3 +283,39 @@ def test_triangle_count_matches_bruteforce(spark):
     assert int(row.n_wedges) == n_wedges
     assert int(row.n_triangles) == n_tri
     assert row.clustering == round(3.0 * n_tri / n_wedges, 6)
+
+
+def test_kcore_matches_unbounded_python_peel(spark):
+    """kg_kcore runs a FIXED number of peel rounds (so its DuckDB twin
+    can unroll the identical computation); this gate peels the same
+    graph with an unbounded Python while-loop to the true fixpoint and
+    asserts identical survivors + degrees — proving both the peeling
+    logic and that the fixed round count reaches convergence."""
+    import pandas as pd
+
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    got = (
+        KQ.KG_REGISTRY["kg_kcore"].spark(spark, "").toPandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+
+    tri = pd.read_parquet(KQ.TRIPLES_PARQUET, columns=["subj", "obj"])
+    tri = tri[tri.subj != tri.obj]
+    edges = {tuple(sorted(p)) for p in zip(tri.subj, tri.obj)}
+    while True:
+        deg: dict[str, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= KQ._KCORE_K}
+        kept = {e for e in edges if e[0] in alive and e[1] in alive}
+        if kept == edges:
+            break
+        edges = kept
+    want = pd.DataFrame(
+        sorted((n, d) for n, d in deg.items() if d >= KQ._KCORE_K),
+        columns=["node", "core_degree"],
+    )
+    assert got.node.tolist() == want.node.tolist()
+    assert got.core_degree.astype(int).tolist() == want.core_degree.tolist()
