@@ -126,6 +126,7 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "boilerplate_lines",
     "kg_triangle_count",
     "kg_kcore",
+    "kg_edge_history",
 )
 _DRIVER_CAP = 50
 

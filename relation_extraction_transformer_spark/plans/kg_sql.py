@@ -1008,3 +1008,65 @@ def _kcore_oracle() -> str:
 KG_REGISTRY["kg_kcore"] = QuerySpec(
     spark=_kg_kcore_spark, oracle=_kcore_oracle()
 )
+
+
+def _kg_edge_history_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal provenance per extracted triple — the KG-versioning
+    report: when was each (subj, pred, obj) first/last observed in the
+    crawl, from how many urls/hosts, and at what peak model confidence.
+    The crawl timestamp lives on the pages table, so this is the
+    url-keyed triples<->pages join the lineage/metrics design assumes;
+    timestamps are exchanged as epoch-second BIGINTs (tz-naive vs
+    tz-aware datetime dtypes would drift between engines even when the
+    instants match).
+
+    Scale shape: both sides shuffle-partition on url (the natural key
+    both tables already carry); pages is projected to (url, ts) before
+    the join so the 100-TB html/text columns never move; the final
+    aggregation is one groupBy on the triple key."""
+    tri = spark.read.parquet(TRIPLES_PARQUET).select(
+        "url", "subj", "pred", "obj", "prob"
+    )
+    pages = spark.read.parquet(PAGES_PARQUET).select(
+        "url", F.unix_timestamp("warc_ts").cast("bigint").alias("ts")
+    )
+    return (
+        tri.join(pages, "url")
+        .withColumn(
+            "host", F.regexp_extract("url", r"https://([^/]+)/", 1)
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.round(F.max("prob"), 6).alias("max_prob"),
+        )
+    )
+
+
+KG_REGISTRY["kg_edge_history"] = QuerySpec(
+    spark=_kg_edge_history_spark,
+    oracle=f"""
+    WITH tri AS (
+      SELECT url, subj, pred, obj, prob
+      FROM read_parquet('{TRIPLES_PARQUET}')
+    ),
+    pages AS (
+      SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts
+      FROM read_parquet('{PAGES_PARQUET}')
+    )
+    SELECT t.subj, t.pred, t.obj,
+           COUNT(*) AS n_obs,
+           COUNT(DISTINCT t.url) AS n_urls,
+           COUNT(DISTINCT regexp_extract(t.url, 'https://([^/]+)/', 1))
+             AS n_hosts,
+           MIN(p.ts) AS first_seen,
+           MAX(p.ts) AS last_seen,
+           ROUND(MAX(t.prob), 6) AS max_prob
+    FROM tri t JOIN pages p ON p.url = t.url
+    GROUP BY t.subj, t.pred, t.obj
+    """,
+)
