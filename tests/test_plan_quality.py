@@ -137,3 +137,34 @@ def test_bpe_encode_plan_is_narrow(spark):
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_pii_redaction_plan_is_a_pure_map_stage(spark):
+    """PII scrub: planted-concat + 3 regexp_replace chains + md5 must
+    compile to a single narrow projection over the pruned scan — zero
+    Exchange, zero Python (the 100-TB shape: redaction costs one pass)."""
+    from relation_extraction_transformer_spark.plans import sql_queries as Q
+
+    df = Q.REGISTRY["pii_redaction"].spark(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "doc_id" in scan[0] and "lang" not in scan[0], (
+        f"scan must read only doc_id/text: {scan}"
+    )
+
+
+def test_boilerplate_lines_broadcasts_the_boilerplate_set(spark):
+    """Line-level dedup: the document-frequency aggregation is the only
+    wide stage; the tiny df>=T boilerplate set must come back as a
+    BroadcastHashJoin (a shuffle join here would re-shuffle the whole
+    line stream at 100 TB)."""
+    from relation_extraction_transformer_spark.plans import sql_queries as Q
+
+    df = Q.REGISTRY["boilerplate_lines"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
