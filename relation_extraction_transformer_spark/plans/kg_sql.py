@@ -786,6 +786,30 @@ KG_REGISTRY["kg_pagerank"] = QuerySpec(
 )
 
 
+def _und_edges(spark: SparkSession) -> DataFrame:
+    """Distinct undirected (a < b) edge set of the extracted entity
+    graph — shared by the triangle census and the k-core peel."""
+    tri = spark.read.parquet(TRIPLES_PARQUET)
+    return (
+        tri.filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _und_degrees(edges: DataFrame, deg_col: str = "deg") -> DataFrame:
+    """Undirected degree per node: one union + one groupBy."""
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias(deg_col))
+    )
+
+
 def _kg_triangle_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census + global clustering coefficient of the extracted
     entity graph — the standard structure report for a freshly built KG
@@ -793,34 +817,21 @@ def _kg_triangle_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Algorithm: degree-oriented "compact-forward" counting.  Undirected
     edges are oriented from the endpoint with the smaller (degree, node)
-    to the larger, making a DAG in which every triangle has exactly one
-    node with two out-edges — so joining two out-edges of the same node
-    with the oriented edge that closes them counts each triangle exactly
-    once.  The orientation is the 100-TB-scale load-bearing choice: a
-    hub of degree d contributes O(d^2) join pairs under naive vertex-id
-    ordering but only pairs among its *higher-degree* neighbours here,
-    which bounds the heaviest key at O(m^1.5) total work on any graph
-    (the classic result the GraphFrames/Spark triangle count also
-    relies on).  Wedges = sum_v C(deg_v, 2); clustering =
-    3*triangles/wedges, one IEEE double division + ROUND(,6) so both
-    engines agree bit-for-bit."""
-    tri = spark.read.parquet(TRIPLES_PARQUET)
-    und = (
-        tri.filter(F.col("subj") != F.col("obj"))
-        .select(
-            F.least("subj", "obj").alias("a"),
-            F.greatest("subj", "obj").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .persist()
-    )
+    to the larger, making a DAG in which every triangle is a unique
+    directed path u -> v -> w plus the closing edge u -> w.  Counting
+    therefore chains two EQUI-joins: paths (e1 join e3 on the middle
+    node) closed by e2 on (u, w) — each triangle generated exactly once,
+    no non-equi pair predicate and no double-enumeration of out-neighbor
+    pairs.  The orientation is the 100-TB-scale load-bearing choice: it
+    bounds every out-degree by O(sqrt(m)), so total path candidates are
+    O(m^1.5) on any graph (the classic compact-forward result the
+    GraphFrames/Spark triangle count also relies on).  Wedges =
+    sum_v C(deg_v, 2) in exact integer arithmetic (DIV 2 on the always-
+    even product — double division would lose bits past 2^53 at hub
+    degrees); clustering = 3*triangles/wedges, one IEEE double division
+    + ROUND(,6) so both engines agree bit-for-bit."""
+    und = _und_edges(spark).persist()
+    deg = _und_degrees(und).persist()
     keyed = und.join(
         deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
     ).join(
@@ -835,21 +846,21 @@ def _kg_triangle_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     ).persist()
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    triangles = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst") != F.col("e2.dst")),
+    paths = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     ).join(
-        e3,
-        (F.col("e3.src") == F.col("e1.dst"))
-        & (F.col("e3.dst") == F.col("e2.dst")),
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        "v",
+    )
+    triangles = paths.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
     )
     n_tri = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
     node_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.floor(F.col("deg") * (F.col("deg") - 1) / 2))
+        F.sum(F.expr("(deg * (deg - 1)) DIV 2"))
         .cast("bigint")
         .alias("n_wedges"),
     )
@@ -897,8 +908,8 @@ KG_REGISTRY["kg_triangle_count"] = QuerySpec(
     tri AS (
       SELECT COUNT(*) AS n_triangles
       FROM oriented e1
-      JOIN oriented e2 ON e1.src = e2.src AND e1.dst <> e2.dst
-      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+      JOIN oriented e3 ON e3.src = e1.dst
+      JOIN oriented e2 ON e2.src = e1.src AND e2.dst = e3.dst
     )
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
            (SELECT COUNT(*) FROM und) AS n_edges,
@@ -919,9 +930,9 @@ _KCORE_ROUNDS = 4
 
 
 def _kg_kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (k={K}) of the extracted entity graph by
+    """k-core decomposition (k=_KCORE_K) of the extracted entity graph by
     iterative peeling: drop every node whose degree in the surviving
-    subgraph is < k, re-induce, repeat.  {R} fixed rounds — enough for
+    subgraph is < k, re-induce, repeat.  _KCORE_ROUNDS fixed rounds — enough for
     convergence on this graph (the pytest gate proves the fixpoint by
     running the same peel with an unbounded while-loop in plain Python
     and asserting identical survivors), and fixed so the DuckDB twin can
@@ -937,24 +948,10 @@ def _kg_kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins plan depth constant, exactly as in canonicalize.py.  At real
     scale the alive set is additionally broadcast once it fits (it only
     shrinks)."""
-    tri = spark.read.parquet(TRIPLES_PARQUET)
-    edges = (
-        tri.filter(F.col("subj") != F.col("obj"))
-        .select(
-            F.least("subj", "obj").alias("a"),
-            F.greatest("subj", "obj").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+    edges = _und_edges(spark).persist()
 
     def degrees(e: DataFrame) -> DataFrame:
-        return (
-            e.select(F.col("a").alias("node"))
-            .unionAll(e.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("core_degree"))
-        )
+        return _und_degrees(e, "core_degree")
 
     for _ in range(_KCORE_ROUNDS):
         alive = (
@@ -970,11 +967,6 @@ def _kg_kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return degrees(edges).filter(F.col("core_degree") >= _KCORE_K)
-
-
-_kg_kcore_spark.__doc__ = _kg_kcore_spark.__doc__.replace(
-    "{K}", str(_KCORE_K)
-).replace("{R}", str(_KCORE_ROUNDS))
 
 
 def _kcore_oracle() -> str:
