@@ -127,6 +127,7 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "kg_triangle_count",
     "kg_kcore",
     "kg_edge_history",
+    "temperature_mixing",
 )
 _DRIVER_CAP = 50
 

@@ -2512,3 +2512,132 @@ register(
     GROUP BY l.doc_id
     """,
 )(_spark_boilerplate_lines)
+
+
+def _spark_temperature_mixing(spark, sf):
+    """Temperature-based multilingual mixture rebalancing (the mT5 /
+    XLM-R alpha-sampling recipe): per-language sampling rates
+    proportional to T_l^alpha so low-resource languages are up-weighted
+    relative to their raw token share, realized as deterministic
+    hash-based per-doc selection against a half-corpus token budget.
+    alpha is fixed at 0.5 because sqrt is IEEE-correctly-rounded (pow is
+    not — a libm pow could disagree between engines in the last bit);
+    each per-language sqrt is ROUND(,6)-quantized to DECIMAL before the
+    order-independent total, and every later step is a single
+    correctly-rounded double op + ROUND (module header rules).
+
+    Scale shape: one groupBy(lang) aggregation (a handful of rows), the
+    per-language rate table broadcast back against the doc stream —
+    the same two-stage shape as boilerplate_lines."""
+    ntok = F.size(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).cast("bigint")
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "lang", ntok.alias("n")
+    )
+    per_lang = docs.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    sq = F.round(F.sqrt(F.col("n_tokens")), 6).cast("decimal(18,6)")
+    sized = per_lang.withColumn("sq", sq)
+    tot = sized.agg(
+        F.sum("sq").alias("sq_total"),
+        F.sum("n_tokens").cast("bigint").alias("tok_total"),
+    )
+    rated = sized.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(
+            F.col("sq").cast("double") / F.col("sq_total").cast("double"),
+            6,
+        ).alias("target_share"),
+        F.expr("tok_total DIV 2").alias("budget"),
+    ).withColumn(
+        "keep_rate",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.col("budget") / F.col("n_tokens"),
+            ),
+            6,
+        ),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("mix"), "doc_id")), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(float(1 << 32))
+    kept = (
+        docs.join(
+            F.broadcast(rated.select("lang", "keep_rate")), "lang"
+        )
+        .filter(u < F.col("keep_rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n").cast("bigint").alias("n_tokens_kept"),
+        )
+    )
+    return rated.join(kept, "lang", "left").select(
+        "lang",
+        "n_tokens",
+        "target_share",
+        "keep_rate",
+        F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias(
+            "n_docs_kept"
+        ),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias(
+            "n_tokens_kept"
+        ),
+    )
+
+
+register(
+    "temperature_mixing",  # mT5-style alpha-sampling rebalance (alpha=0.5)
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens FROM docs GROUP BY lang
+    ),
+    sized AS (
+      SELECT lang, n_tokens,
+             CAST(ROUND(sqrt(n_tokens), 6) AS DECIMAL(18,6)) AS sq
+      FROM per_lang
+    ),
+    tot AS (
+      SELECT SUM(sq) AS sq_total, CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+      FROM sized
+    ),
+    rated AS (
+      SELECT lang, n_tokens,
+             ROUND(CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE), 6)
+               AS target_share,
+             tok_total // 2 AS budget
+      FROM sized, tot
+    ),
+    rated2 AS (
+      SELECT lang, n_tokens, target_share,
+             ROUND(LEAST(1.0, target_share * budget / n_tokens), 6)
+               AS keep_rate
+      FROM rated
+    ),
+    kept AS (
+      SELECT d.lang,
+             COUNT(*) AS n_docs_kept,
+             CAST(SUM(d.n) AS BIGINT) AS n_tokens_kept
+      FROM docs d JOIN rated2 r ON r.lang = d.lang
+      WHERE CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) / {float(1 << 32)}
+            < r.keep_rate
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_tokens, r.target_share, r.keep_rate,
+           CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+    FROM rated2 r LEFT JOIN kept k ON k.lang = r.lang
+    """,
+)(_spark_temperature_mixing)
