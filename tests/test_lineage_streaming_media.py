@@ -400,3 +400,62 @@ def test_session_fn_empty_batch_keeps_state():
     out = list(SF._session_fn((8,), iter([]), fresh))
     assert out == []
     assert not fresh.exists
+
+
+def test_streaming_triples_match_batch_and_feed_incremental_graph(
+    spark, tmp_path
+):
+    """System-level incremental-KG loop: streamed extraction over an
+    append-only pages directory must equal the batch plan's triples
+    exactly (same plan composed onto readStream), and merging the second
+    batch's edge delta into the first batch's graph must reproduce the
+    full rebuild (same >=95% bar as the rebuilt-halves test — a
+    cross-batch near-dup merge can legitimately move a canonical id)."""
+    from relation_extraction_transformer_spark.plans import graph as GR
+    from relation_extraction_transformer_spark.plans import pipeline as PL
+
+    src = str(tmp_path / "pages_inc")
+    out = str(tmp_path / "triples_inc")
+    ck = str(tmp_path / "ck_inc")
+    page_id = F.regexp_extract("url", r"/articles/(\d+)$", 1).cast("int")
+
+    # batch A = pages 0-23, batch B = pages 24-35 of the SAME seed, so
+    # appending B never reuses an url
+    all_pages = PG.synthetic_pages(spark, 36, seed=51, partitions=3)
+    all_pages.filter(page_id < 24).write.parquet(src)
+    ST.run_stream_to_parquet(ST.streaming_triples(spark, src), out, ck, once=True)
+    t1 = spark.read.parquet(out).cache()
+    n1 = t1.count()
+    assert n1 > 0
+
+    all_pages.filter(page_id >= 24).write.mode("append").parquet(src)
+    ST.run_stream_to_parquet(ST.streaming_triples(spark, src), out, ck, once=True)
+    t_all = spark.read.parquet(out).cache()
+
+    # 1) streamed == batch, row-exact
+    batch = PL.triples_plan(
+        spark.read.parquet(src), spark, keep_probs=False
+    )
+    key = ["url", "sent_id", "pair_id", "subj", "pred", "obj"]
+    assert t_all.count() == batch.count()
+    assert (
+        t_all.select(*key).exceptAll(batch.select(*key)).count() == 0
+    ), "streaming plan diverged from the batch plan"
+
+    # 2) incremental edge maintenance reproduces the full rebuild
+    delta = t_all.filter(page_id >= 24)
+    assert delta.count() == t_all.count() - n1
+    _, e_full = GR.build_graph(t_all, spark)
+    _, e1 = GR.build_graph(t1, spark)
+    _, e_delta = GR.build_graph(delta, spark)
+    merged = GR.merge_edge_deltas(e1, e_delta)
+    full = {(r.src, r.pred, r.dst): (r.weight, r.max_prob,
+                                     tuple(r.source_urls))
+            for r in e_full.collect()}
+    got = {(r.src, r.pred, r.dst): (r.weight, r.max_prob,
+                                    tuple(r.source_urls))
+           for r in merged.collect()}
+    same = sum(1 for k, v in got.items() if full.get(k) == v)
+    assert same / max(len(full), 1) >= 0.95, (
+        f"{same}/{len(full)} edges identical after streaming delta merge"
+    )
