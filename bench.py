@@ -11,8 +11,8 @@ affinity-bound subprocesses at TWO core-count pairs (2 -> 8, the
 local[2]-vs-local[8] form BASELINE.md names as the sandbox analog of the
 two-cluster-size criterion, plus 8 -> 32 with a same-run NumPy
 host-ceiling control), all raw walls published (protocol in BENCH.md).
-SPARK_GRAFT_SCALING=1 upgrades the 8 -> 32 corpus to 16x for the
-long-form measurement.
+Both pairs run on one shared scaling corpus (8x the headline corpus);
+SPARK_GRAFT_SCALING=1 upgrades it to 16x for the long-form measurement.
 """
 
 from __future__ import annotations
@@ -301,8 +301,9 @@ def main() -> None:
     #            for the N->4N criterion): below the single-socket memory-
     #            bandwidth/turbo ceiling, so raw efficiency is the honest
     #            analog of adding executor NODES (each node keeps its own
-    #            memory bus).  Runs on the 4x corpus so the 2-core wall
-    #            stays ~1 min.
+    #            memory bus).  Runs on the shared scaling corpus (8x, or
+    #            16x under SPARK_GRAFT_SCALING) so the 2-core wall is
+    #            ~2 min and the fixed per-job serial seconds vanish.
     #   8 -> 32 (supplementary): saturates the socket; reported raw AND
     #            normalized by a same-run Spark-free NumPy control that
     #            measures what THIS host can scale ANY identical

@@ -66,6 +66,8 @@ def packed_token_offsets(
     order_col: str = "doc_id",
     group_cols: tuple[str, ...] = (),
     n_shards: int | None = None,
+    persist: bool = True,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Distributed global (or per-group) running token total.
 
@@ -74,10 +76,24 @@ def packed_token_offsets(
     each combination of ``group_cols``, if given — e.g. per-language
     packing).  Equivalent to a single unpartitioned window cumsum, but
     with no single-task stage.
+
+    ``persist`` (default) caches the input before the three actions that
+    consume it (the bounds aggregate, the Phase-B totals collect, and
+    the returned frame) — without it, a heavy upstream plan (curation's
+    LSH near-dedup + BPE encode) recomputes per action.  Pass a list as
+    ``persisted_out`` to receive the handle and ``.unpersist()`` it once
+    the packed output is consumed (same lifetime contract as
+    functions/minhash.band_candidate_pairs).
     """
     spark = docs.sparkSession
     if n_shards is None:
         n_shards = spark.sparkContext.defaultParallelism * 4
+    if persist:
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(docs)
 
     bounds = docs.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
@@ -110,21 +126,33 @@ def packed_token_offsets(
         .agg(F.sum(F.col(tokens_col).cast("long")).alias("_tok"))
         .collect()
     )
-    totals.sort(key=lambda r: tuple(r[k] for k in keys))
+    # None-safe ordering (Spark groupBy keeps NULL keys; Python 3 cannot
+    # order None against str/int): nulls sort first, like Spark's default
+    totals.sort(
+        key=lambda r: tuple((r[k] is not None, r[k]) for k in keys)
+    )
     offsets, running = [], {}
     for r in totals:
         g = tuple(r[c] for c in group_cols)
         offsets.append((*[r[k] for k in keys], running.get(g, 0)))
         running[g] = running.get(g, 0) + (r["_tok"] or 0)
     schema = sharded.select(*keys).schema.add(_OFFSET, "long")
-    off_df = spark.createDataFrame(offsets, schema)
-
+    off_df = spark.createDataFrame(offsets, schema).select(
+        *[F.col(k).alias(f"_off_{k}") for k in keys], _OFFSET
+    )
+    # null-safe equi-join so rows in a NULL group / NULL shard still pick
+    # up their offset (a plain equi-join would drop them to offset 0 and
+    # silently break their running totals)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_off_{k}"))
+        cond = c if cond is None else (cond & c)
     return (
-        with_local.join(F.broadcast(off_df), keys, "left")
+        with_local.join(F.broadcast(off_df), cond, "left")
         .withColumn(
             "cum_tokens", F.coalesce(_OFFSET, F.lit(0)) + F.col(_LCUM)
         )
-        .drop(_SHARD, _LCUM, _OFFSET)
+        .drop(_SHARD, _LCUM, _OFFSET, *[f"_off_{k}" for k in keys])
     )
 
 
@@ -135,12 +163,16 @@ def pack_segments(
     order_col: str = "doc_id",
     group_cols: tuple[str, ...] = (),
     n_shards: int | None = None,
+    persist: bool = True,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Assign every document its (pack_id, pack_offset) under fixed-length
     packing, plus a ``crosses_boundary`` flag for docs split across
-    packs.  Scale-safe: see module docstring."""
+    packs.  Scale-safe: see module docstring.  ``persist`` /
+    ``persisted_out``: see :func:`packed_token_offsets`."""
     cum = packed_token_offsets(
-        docs, tokens_col, order_col, group_cols, n_shards
+        docs, tokens_col, order_col, group_cols, n_shards,
+        persist=persist, persisted_out=persisted_out,
     )
     start = F.col("cum_tokens") - F.col(tokens_col)
     end_incl = F.col("cum_tokens") - 1

@@ -606,7 +606,9 @@ KG_REGISTRY["url_canonical_dedup"] = QuerySpec(
     ),
     tenth AS (
       SELECT url FROM pages
-      WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 10 = 0
+      -- TRY_CAST: Spark's cast-to-long yields NULL (filtered) on a url
+      -- without trailing digits; a plain DuckDB CAST would instead error
+      WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 10 = 0
     ),
     planted AS (
       SELECT url FROM pages
@@ -729,7 +731,10 @@ def _kg_pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).cast("decimal(28,12)").alias("pr"),
         )
-    return pr.select("node", F.col("pr").cast("double").alias("pagerank"))
+    return _materialize_release(
+        pr.select("node", F.col("pr").cast("double").alias("pagerank")),
+        edges, nodes,
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -784,6 +789,19 @@ def _pagerank_oracle() -> str:
 KG_REGISTRY["kg_pagerank"] = QuerySpec(
     spark=_kg_pagerank_spark, oracle=_pagerank_oracle()
 )
+
+
+
+def _materialize_release(df: DataFrame, *handles: DataFrame) -> DataFrame:
+    """Eagerly materialize a (small) query result, then unpersist the
+    intermediate caches that fed it.  The graph-analytics queries run
+    inside the driver's long-lived 50+-query session; without this,
+    every invocation pins new MEMORY_AND_DISK entries for the session's
+    lifetime (the cache-lifetime leak band_candidate_pairs documents)."""
+    out = df.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
 
 
 def _und_edges(spark: SparkSession) -> DataFrame:
@@ -864,7 +882,7 @@ def _kg_triangle_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_wedges"),
     )
-    return (
+    return _materialize_release(
         node_stats.crossJoin(n_edges)
         .crossJoin(n_tri)
         .select(
@@ -879,7 +897,8 @@ def _kg_triangle_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ),
             ).otherwise(F.lit(0.0)).alias("clustering"),
-        )
+        ),
+        und, deg, oriented,
     )
 
 
@@ -948,7 +967,8 @@ def _kg_kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins plan depth constant, exactly as in canonicalize.py.  At real
     scale the alive set is additionally broadcast once it fits (it only
     shrinks)."""
-    edges = _und_edges(spark).persist()
+    edges0 = _und_edges(spark).persist()
+    edges = edges0
 
     def degrees(e: DataFrame) -> DataFrame:
         return _und_degrees(e, "core_degree")
@@ -966,7 +986,9 @@ def _kg_kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
-    return degrees(edges).filter(F.col("core_degree") >= _KCORE_K)
+    return _materialize_release(
+        degrees(edges).filter(F.col("core_degree") >= _KCORE_K), edges0
+    )
 
 
 def _kcore_oracle() -> str:

@@ -149,6 +149,17 @@ def _session_fn(
         elif t - last <= SESSION_GAP_MS:
             last, n = max(last, t), n + 1
         else:
+            # forward gap-split closes the CURRENT session — the late
+            # chain (always temporally below the initial session, since
+            # ts is sorted) must be resolved against it NOW: after the
+            # reset, `start` names a different session and a deferred
+            # chain merge would compare against the wrong one
+            if lstart is not None:
+                if start - llast <= SESSION_GAP_MS:
+                    start, n = lstart, n + ln
+                else:
+                    out.append((user, lstart, llast, ln, True))
+                lstart, llast, ln = None, None, 0
             out.append((user, start, last, n, True))
             start, last, n = t, t, 1
     if lstart is not None:

@@ -459,3 +459,58 @@ def test_streaming_triples_match_batch_and_feed_incremental_graph(
     assert same / max(len(full), 1) >= 0.95, (
         f"{same}/{len(full)} edges identical after streaming delta merge"
     )
+
+
+def test_session_fn_resolves_late_chain_before_forward_split():
+    """Review r4: a late chain pending when a forward gap-split closes
+    the initial session must merge against THAT session, not against the
+    fresh post-split one.  State (start=S, last=S+10s), gap g, batch
+    [S-12s, S-5s, S+3g]: S-5s extends start backward (in gap), which
+    brings S-12s within the gap of the new start, so the batch twin
+    yields ONE closed session [S-12s, S+10s] of 4 events plus the new
+    open session at S+3g — the deferred-merge bug emitted (S-5s..S+10s)
+    and a bogus single-event (S-12s) session instead."""
+    import pandas as pd
+
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    base = 1_700_000_000_000
+    gap = SF.SESSION_GAP_MS
+    state = _FakeGroupState((base, base + 10_000, 2))
+    batch = pd.DataFrame(
+        {"ts": pd.to_datetime(
+            [base - 12_000, base - 5_000, base + 3 * gap], unit="ms"
+        )}
+    )
+    [out] = list(SF._session_fn((7,), iter([batch]), state))
+    assert len(out) == 1, f"expected one closed session, got\n{out}"
+    row = out.iloc[0]
+    assert int(row.session_start.value // 1_000_000) == base - 12_000
+    assert int(row.session_end.value // 1_000_000) == base + 10_000
+    assert int(row.n_events) == 4
+    assert state.get == (base + 3 * gap, base + 3 * gap, 1)
+
+
+def test_session_fn_emits_out_of_gap_chain_at_forward_split():
+    """Companion case: the pending chain is NOT within the gap of the
+    initial session when the forward split closes it — the chain must be
+    emitted as its own closed session (matching the batch twin), never
+    compared against the post-split session."""
+    import pandas as pd
+
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    base = 1_700_000_000_000
+    gap = SF.SESSION_GAP_MS
+    state = _FakeGroupState((base, base + 10_000, 2))
+    batch = pd.DataFrame(
+        {"ts": pd.to_datetime([base - 5 * gap, base + 3 * gap], unit="ms")}
+    )
+    [out] = list(SF._session_fn((7,), iter([batch]), state))
+    assert len(out) == 2
+    chain, closed = out.iloc[0], out.iloc[1]
+    assert int(chain.session_start.value // 1_000_000) == base - 5 * gap
+    assert int(chain.n_events) == 1
+    assert int(closed.session_start.value // 1_000_000) == base
+    assert int(closed.n_events) == 2
+    assert state.get == (base + 3 * gap, base + 3 * gap, 1)

@@ -85,3 +85,30 @@ def test_empty_and_single_row(spark):
     one = spark.createDataFrame([(42, 20)], "doc_id long, n_tokens int")
     [r] = PK.pack_segments(one, pack_len=8).collect()
     assert (r.pack_id, r.pack_offset, r.crosses_boundary) == (0, 0, True)
+
+
+def test_pack_segments_survives_null_group_values(spark):
+    """Review r4: a NULL group value (e.g. lang=NULL from an upstream
+    source) previously crashed the driver-side offset sort (None is not
+    orderable against str) and, with a plain equi-join, would silently
+    zero the null group's shard offsets.  The null group must pack like
+    any other group."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_transformer_spark.operators import packing as PK
+
+    rows = [(i, None if i % 3 == 0 else f"l{i % 2}", 100) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = PK.pack_segments(
+        docs, pack_len=256, group_cols=("lang",), n_shards=4, persist=False
+    ).collect()
+    assert len(out) == 30
+    # within each group (incl. the null group) the running total over
+    # doc_id order must be i_th * 100 — independently recomputed here
+    by_group: dict = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        k = r.lang
+        by_group[k] = by_group.get(k, 0) + 1
+        pos = by_group[k]
+        assert r.pack_id == ((pos - 1) * 100) // 256, (r.lang, r.doc_id)
+        assert r.pack_offset == ((pos - 1) * 100) % 256
