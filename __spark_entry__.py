@@ -128,6 +128,7 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "kg_kcore",
     "kg_edge_history",
     "temperature_mixing",
+    "decontamination_bloom",
 )
 _DRIVER_CAP = 50
 

@@ -2641,3 +2641,62 @@ register(
     FROM rated2 r LEFT JOIN kept k ON k.lang = r.lang
     """,
 )(_spark_temperature_mixing)
+
+
+def _spark_decontamination_bloom(spark, sf):
+    """Bloom-accelerated decontamination — identical semantics to
+    ``decontamination_overlap`` (it registers the SAME DuckDB oracle),
+    restructured the way a 100-TB run must be: the benchmark side's
+    distinct 5-grams build a 2-KiB Bloom bitmap (functions/bloom.py, all
+    JVM column arithmetic), the CORPUS side is scanned with the
+    membership test as a narrow filter, and only the surviving ~0.1%
+    of grams reach the distinct + semi-join.  Bloom filters have no
+    false negatives, so the exact semi-join on the survivors returns
+    precisely the unfiltered answer while the full corpus gram stream
+    never shuffles.  tests/test_bloom.py asserts the composition
+    equals the exact query AND that the pre-filter actually filters."""
+    from ..functions import bloom as BL
+
+    m_bits, k = 1 << 17, 5
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(_ngram_col(F.col("toks"))).alias("g")
+    ).filter(F.col("g") != "")
+    bench = grams.filter(F.col("doc_id") % 50 == 0)
+    bitmap = BL.bloom_build(
+        bench.select("g").distinct(), "g", m_bits, k
+    )
+    corpus_cand = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .filter(BL.bloom_might_contain(F.col("g"), bitmap, m_bits, k))
+        .select("g")
+        .distinct()
+    )
+    leaked = bench.join(corpus_cand, "g", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_leaked"))
+    return (
+        bench.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ngrams"))
+        .join(leaked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+            F.round(
+                F.coalesce("n_leaked", F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+# same oracle as the exact query — the bloom pre-filter must be
+# result-invisible (no false negatives + exact verify)
+register(
+    "decontamination_bloom",
+    REGISTRY["decontamination_overlap"].oracle,
+)(_spark_decontamination_bloom)
