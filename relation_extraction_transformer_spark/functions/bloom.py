@@ -41,15 +41,9 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     a key whose second hash reduces to 0 still probes k distinct bits.
     """
     m = F.lit(m_bits).cast("long")
-    h1 = F.call_function("pmod", F.xxhash64(key), m)
-    h2 = (
-        F.call_function("pmod", F.xxhash64(key, F.lit("bloom-salt")), m)
-        * F.lit(2)
-        + F.lit(1)
-    )
-    return [
-        F.call_function("pmod", h1 + F.lit(i) * h2, m) for i in range(k)
-    ]
+    h1 = F.pmod(F.xxhash64(key), m)
+    h2 = F.pmod(F.xxhash64(key, F.lit("bloom-salt")), m) * F.lit(2) + F.lit(1)
+    return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(k)]
 
 
 def bloom_build(
@@ -59,7 +53,7 @@ def bloom_build(
 
     Returns the bitmap as a dense python list of ``m_bits // 64`` longs
     (driver-side — the bitmap is broadcast-literal-sized by design; 2^17
-    bits = 2 KiB).  ``m_bits`` must be a multiple of 64.
+    bits = 16 KiB).  ``m_bits`` must be a multiple of 64.
     """
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")

@@ -66,7 +66,7 @@ def packed_token_offsets(
     order_col: str = "doc_id",
     group_cols: tuple[str, ...] = (),
     n_shards: int | None = None,
-    persist: bool = True,
+    persist: bool = False,
     persisted_out: list | None = None,
 ) -> DataFrame:
     """Distributed global (or per-group) running token total.
@@ -77,13 +77,15 @@ def packed_token_offsets(
     packing).  Equivalent to a single unpartitioned window cumsum, but
     with no single-task stage.
 
-    ``persist`` (default) caches the input before the three actions that
+    ``persist=True`` caches the input before the three actions that
     consume it (the bounds aggregate, the Phase-B totals collect, and
     the returned frame) — without it, a heavy upstream plan (curation's
-    LSH near-dedup + BPE encode) recomputes per action.  Pass a list as
-    ``persisted_out`` to receive the handle and ``.unpersist()`` it once
-    the packed output is consumed (same lifetime contract as
-    functions/minhash.band_candidate_pairs).
+    LSH near-dedup + BPE encode) recomputes per action.  Off by default
+    so repeated calls in a long-lived session (the driver's query
+    battery) don't accumulate cache entries; opt in for heavy inputs
+    and pass a list as ``persisted_out`` to receive the handle and
+    ``.unpersist()`` it once the packed output is consumed (same
+    lifetime contract as functions/minhash.band_candidate_pairs).
     """
     spark = docs.sparkSession
     if n_shards is None:
@@ -163,7 +165,7 @@ def pack_segments(
     order_col: str = "doc_id",
     group_cols: tuple[str, ...] = (),
     n_shards: int | None = None,
-    persist: bool = True,
+    persist: bool = False,
     persisted_out: list | None = None,
 ) -> DataFrame:
     """Assign every document its (pack_id, pack_offset) under fixed-length

@@ -2647,7 +2647,7 @@ def _spark_decontamination_bloom(spark, sf):
     """Bloom-accelerated decontamination — identical semantics to
     ``decontamination_overlap`` (it registers the SAME DuckDB oracle),
     restructured the way a 100-TB run must be: the benchmark side's
-    distinct 5-grams build a 2-KiB Bloom bitmap (functions/bloom.py, all
+    distinct 5-grams build a 16-KiB Bloom bitmap (functions/bloom.py, all
     JVM column arithmetic), the CORPUS side is scanned with the
     membership test as a narrow filter, and only the surviving ~0.1%
     of grams reach the distinct + semi-join.  Bloom filters have no
@@ -2664,7 +2664,10 @@ def _spark_decontamination_bloom(spark, sf):
     grams = docs.select(
         "doc_id", F.explode(_ngram_col(F.col("toks"))).alias("g")
     ).filter(F.col("g") != "")
-    bench = grams.filter(F.col("doc_id") % 50 == 0)
+    # the benchmark gram frame feeds THREE actions (bloom build, the
+    # n_ngrams aggregate, the leak semi-join): persist it once, release
+    # after the eager materialization below
+    bench = grams.filter(F.col("doc_id") % 50 == 0).persist()
     bitmap = BL.bloom_build(
         bench.select("g").distinct(), "g", m_bits, k
     )
@@ -2677,7 +2680,7 @@ def _spark_decontamination_bloom(spark, sf):
     leaked = bench.join(corpus_cand, "g", "left_semi").groupBy(
         "doc_id"
     ).agg(F.count(F.lit(1)).alias("n_leaked"))
-    return (
+    out = (
         bench.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_ngrams"))
         .join(leaked, "doc_id", "left")
@@ -2691,7 +2694,13 @@ def _spark_decontamination_bloom(spark, sf):
                 6,
             ).alias("contamination_ratio"),
         )
+        # benchmark-doc-sized result: materialize eagerly, then release
+        # the bench cache (long-lived-session hygiene, as in kg_sql's
+        # _materialize_release)
+        .localCheckpoint(eager=True)
     )
+    bench.unpersist()
+    return out
 
 
 # same oracle as the exact query — the bloom pre-filter must be

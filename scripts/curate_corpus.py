@@ -44,6 +44,7 @@ def curate(
     jaccard: float = 0.1,
     keep_rate_other: float = 0.25,
     bpe_merges: int = 0,
+    persisted_out: list | None = None,
 ):
     """Run the curation funnel over a (doc_id, lang, text) DataFrame.
 
@@ -164,10 +165,16 @@ def curate(
     # funnel the dominant-language stratum through one task; the packer
     # range-shards WITHIN each language and offsets by broadcast shard
     # totals, so no single task ever sees a whole stratum.
+    # persist=True: the packer runs three actions over this frame, whose
+    # plan carries the whole funnel (LSH near-dedup, optionally a
+    # corpus-wide BPE encode) — cache it once; the caller releases the
+    # handle via persisted_out after materializing the packed output
     packed = PK.pack_segments(
         to_pack,
         pack_len=pack_len,
         group_cols=("lang",),
+        persist=True,
+        persisted_out=persisted_out,
     ).select("doc_id", "lang", "text", "n_tokens", "pack_id", "pack_offset")
     stages["packed"] = packed
     return stages, report
@@ -201,6 +208,7 @@ def main() -> None:
     from relation_extraction_transformer_spark.sources import tables as TB
 
     docs = TB.read_table(spark, args.docs)
+    persisted: list = []
     stages, report = curate(
         spark,
         docs,
@@ -208,8 +216,11 @@ def main() -> None:
         jaccard=args.jaccard,
         keep_rate_other=args.keep_rate_other,
         bpe_merges=args.bpe_merges,
+        persisted_out=persisted,
     )
     TB.write_table(stages["packed"], os.path.join(args.out, "curated"))
+    for h in persisted:
+        h.unpersist()
     report["packs"] = (
         spark.read.parquet(os.path.join(args.out, "curated"))
         .select("lang", "pack_id").distinct().count()

@@ -465,27 +465,33 @@ def test_session_fn_resolves_late_chain_before_forward_split():
     """Review r4: a late chain pending when a forward gap-split closes
     the initial session must merge against THAT session, not against the
     fresh post-split one.  State (start=S, last=S+10s), gap g, batch
-    [S-12s, S-5s, S+3g]: S-5s extends start backward (in gap), which
-    brings S-12s within the gap of the new start, so the batch twin
-    yields ONE closed session [S-12s, S+10s] of 4 events plus the new
-    open session at S+3g — the deferred-merge bug emitted (S-5s..S+10s)
-    and a bogus single-event (S-12s) session instead."""
+    [S-1.2g, S-0.9g, S+3g]: S-1.2g is BEYOND the gap and opens the late
+    chain; S-0.9g is in-gap and extends start backward, bringing the
+    chain tail within the gap of the new start; S+3g forward-splits.
+    The batch twin yields ONE closed session [S-1.2g, S+10s] of 4
+    events plus the new open session at S+3g — the deferred-merge bug
+    compared the chain against the POST-split start and emitted
+    (S-0.9g..S+10s) plus a bogus single-event (S-1.2g) session
+    instead.  (The offsets are gap-scaled: sub-gap offsets would take
+    the plain in-gap path and never form a chain.)"""
     import pandas as pd
 
     from relation_extraction_transformer_spark.streaming import stateful as SF
 
     base = 1_700_000_000_000
     gap = SF.SESSION_GAP_MS
+    t_chain = base - int(1.2 * gap)
+    t_ingap = base - int(0.9 * gap)
     state = _FakeGroupState((base, base + 10_000, 2))
     batch = pd.DataFrame(
         {"ts": pd.to_datetime(
-            [base - 12_000, base - 5_000, base + 3 * gap], unit="ms"
+            [t_chain, t_ingap, base + 3 * gap], unit="ms"
         )}
     )
     [out] = list(SF._session_fn((7,), iter([batch]), state))
     assert len(out) == 1, f"expected one closed session, got\n{out}"
     row = out.iloc[0]
-    assert int(row.session_start.value // 1_000_000) == base - 12_000
+    assert int(row.session_start.value // 1_000_000) == t_chain
     assert int(row.session_end.value // 1_000_000) == base + 10_000
     assert int(row.n_events) == 4
     assert state.get == (base + 3 * gap, base + 3 * gap, 1)
