@@ -107,28 +107,29 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Queries listed here are deliberately deferred past the cap: they stay
 # registered and oracle-paired (tests/test_entry_contract.py mirrors the
 # driver over ALL entries at sf0.001), but yield their driver slot to a
-# non-duplicative query.  distinct_users_per_type duplicates the
-# count-distinct surface already covered by tumbling_hourly_counts /
-# cube_event_stats; bpe_token_stats duplicates token_stats' shape over
-# the same column; the round-4 additions (cross-doc n-gram dedup,
-# decontamination, unigram-LM scoring, URL canonicalization) keep the
-# round-3 battery stable rather than displacing its driver-green rows.
+# non-duplicative query.  Round-5 rotation (per VERDICT r4 ask #1): the
+# 15 rows below have been driver-green for three consecutive rounds
+# (r2-r4), so they yield their slots to the 15 round-3/4 additions
+# (graph analytics, PII, boilerplate, temperature mixing, bloom
+# decontamination, n-gram dedup, decontamination overlap, unigram LM,
+# URL canonicalization, distinct-users, bpe-token-stats) so every
+# component earns a driver-record green at sf0.01.
 _DEFERRED_PAST_DRIVER_CAP = (
-    "distinct_users_per_type",
-    "bpe_token_stats",
-    "dup_ngram_spans",
-    "decontamination_overlap",
-    "unigram_logprob",
-    "url_canonical_dedup",
-    "kg_degree_distribution",
-    "kg_pagerank",
-    "pii_redaction",
-    "boilerplate_lines",
-    "kg_triangle_count",
-    "kg_kcore",
-    "kg_edge_history",
-    "temperature_mixing",
-    "decontamination_bloom",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customer_per_nation",
+    "orders_with_shipped_items",
+    "vocab_counts",
+    "oov_rate",
+    "binned_offsets",
+    "span_positions",
+    "masked_token_stream",
+    "glove_bracket_normalize",
+    "rollup_order_counts",
+    "cube_event_stats",
+    "set_ops_customers",
+    "price_quantiles",
 )
 _DRIVER_CAP = 50
 

@@ -87,29 +87,31 @@ def test_rows_only_queries_run(spark, name):
         pdf.sort_values(by=list(pdf.columns))
 
 
-# the exact 50-query battery the driver records — the round-3-green set
-# with the two restored media rows.  Pinned so a future register() call
-# that forgets _DEFERRED_PAST_DRIVER_CAP cannot silently displace a
-# driver-green row (all slots would still be oracle-paired, so a weaker
-# "all paired" check would not catch the displacement).
-_BATTERY_R3_GREEN = (
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "top_customer_per_nation", "orders_with_shipped_items", "vocab_counts",
-    "vocab_ranked", "oov_rate", "token_stats",
-    "quality_scores", "repetition_scores", "corpus_filter_decisions",
-    "stratified_sample", "pack_segments", "bpe_merge_candidates",
-    "lang_guess", "doc_fingerprints", "dedup_exact",
-    "minhash_bands", "minhash_candidate_pairs", "ngram_jaccard_buckets",
-    "simhash_64", "ann_cosine_topk", "ann_lsh_buckets",
-    "knn_label_vote", "scorer_per_relation", "scorer_micro",
-    "ensemble_majority_vote", "sessionize_users", "tumbling_hourly_counts",
-    "binned_offsets", "span_positions", "masked_token_stream",
-    "glove_bracket_normalize", "rollup_order_counts", "cube_event_stats",
-    "set_ops_customers", "embedding_near_dup_pairs", "price_quantiles",
+# the exact 50-query battery the driver records — round-5 rotation:
+# the 15 three-rounds-stable TPC-H/positions/window rows are deferred
+# past the cap and the 15 round-3/4 additions are promoted so every
+# component earns a driver-record green (VERDICT r4 ask #1).  Pinned so
+# a future register() call that forgets _DEFERRED_PAST_DRIVER_CAP
+# cannot silently displace a driver-green row (all slots would still be
+# oracle-paired, so a weaker "all paired" check would not catch it).
+_BATTERY_R5 = (
+    "vocab_ranked", "token_stats", "quality_scores",
+    "repetition_scores", "corpus_filter_decisions", "stratified_sample",
+    "pack_segments", "bpe_merge_candidates", "lang_guess",
+    "doc_fingerprints", "dedup_exact", "minhash_bands",
+    "minhash_candidate_pairs", "ngram_jaccard_buckets", "simhash_64",
+    "ann_cosine_topk", "ann_lsh_buckets", "knn_label_vote",
+    "scorer_per_relation", "scorer_micro", "ensemble_majority_vote",
+    "sessionize_users", "tumbling_hourly_counts", "embedding_near_dup_pairs",
     "winnowing_fingerprints", "ann_ivf_topk", "rare_token_ratio",
     "kg_candidates", "kg_nodes", "kg_edges",
     "media_features", "media_frames", "kg_host_stats",
     "media_dedup", "media_meta",
+    "distinct_users_per_type", "bpe_token_stats", "dup_ngram_spans",
+    "decontamination_overlap", "unigram_logprob", "url_canonical_dedup",
+    "kg_degree_distribution", "kg_pagerank", "pii_redaction",
+    "boilerplate_lines", "kg_triangle_count", "kg_kcore",
+    "kg_edge_history", "temperature_mixing", "decontamination_bloom",
 )
 
 
@@ -122,9 +124,9 @@ def test_driver_battery_first_50_all_oracle_paired():
     battery = names[: entry._DRIVER_CAP]
     unpaired = [n for n in battery if n not in ORACLES]
     assert not unpaired, f"driver slots wasted on rows-only: {unpaired}"
-    assert sorted(battery) == sorted(_BATTERY_R3_GREEN), (
-        f"driver battery drifted: +{set(battery) - set(_BATTERY_R3_GREEN)} "
-        f"-{set(_BATTERY_R3_GREEN) - set(battery)}"
+    assert sorted(battery) == sorted(_BATTERY_R5), (
+        f"driver battery drifted: +{set(battery) - set(_BATTERY_R5)} "
+        f"-{set(_BATTERY_R5) - set(battery)}"
     )
     # deferred queries must still be registered + paired (pytest-gated)
     for n in entry._DEFERRED_PAST_DRIVER_CAP:
