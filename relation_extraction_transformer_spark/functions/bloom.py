@@ -32,13 +32,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_m_bits(m_bits: int) -> None:
+    if m_bits < 64 or (m_bits & (m_bits - 1)):
+        raise ValueError("m_bits must be a power of two >= 64")
+
+
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """k bit positions in [0, m_bits) via double hashing.
 
     Both hashes are reduced mod m BEFORE combining: raw xxhash64 values
     span the full int64 range, so ``h1 + i*h2`` would overflow (an error
-    under ANSI mode, the Spark 4 default).  The stride is forced odd so
-    a key whose second hash reduces to 0 still probes k distinct bits.
+    under ANSI mode, the Spark 4 default).  The stride is forced odd,
+    which guarantees k distinct probe bits because ``m_bits`` is a power
+    of two (enforced by the callers): gcd(odd, 2^j) = 1, so the stride
+    generates the full cyclic group mod m.  (For a non-power-of-two m an
+    odd stride sharing a factor with m would revisit positions — e.g.
+    stride 3 with m=192 — raising the FPR but never creating false
+    negatives.)
     """
     m = F.lit(m_bits).cast("long")
     h1 = F.pmod(F.xxhash64(key), m)
@@ -53,10 +63,11 @@ def bloom_build(
 
     Returns the bitmap as a dense python list of ``m_bits // 64`` longs
     (driver-side — the bitmap is broadcast-literal-sized by design; 2^17
-    bits = 16 KiB).  ``m_bits`` must be a multiple of 64.
+    bits = 16 KiB).  ``m_bits`` must be a power of two (>= 64): the odd
+    double-hashing stride in :func:`_positions` only guarantees k
+    distinct probe bits when gcd(stride, m_bits) = 1.
     """
-    if m_bits % 64:
-        raise ValueError("m_bits must be a multiple of 64")
+    _check_m_bits(m_bits)
     pos = F.array(*_positions(F.col(key), m_bits, k))
     rows = (
         df.select(F.explode(pos).alias("p"))
@@ -85,8 +96,10 @@ def bloom_might_contain(
 
     False negatives are impossible; false-positive rate follows the
     standard (1 - e^{-kn/m})^k bound.  All-JVM: the bitmap is an array
-    literal, each probe is element_at + bitwise AND.
+    literal, each probe is element_at + bitwise AND.  ``m_bits`` must be
+    the same power of two used at build time.
     """
+    _check_m_bits(m_bits)
     arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
     cond = None
     for p in _positions(key, m_bits, k):

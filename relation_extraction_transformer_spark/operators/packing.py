@@ -44,20 +44,34 @@ _OFFSET = "_pack_shard_offset"
 def _shard_expr(order_col: str, lo: int, hi: int, n_shards: int):
     """Deterministic contiguous range shard of a numeric order column.
 
-    ``floor((x - lo) * n / (hi - lo + 1))`` maps the closed id range onto
+    ``(x - lo) // ceil(span / n)`` maps the closed id range onto
     ``[0, n)`` with order-contiguous buckets — unlike
     ``repartitionByRange`` there is no sampled boundary, so phases A and
-    B agree without persisting the sharded frame.  Uniform only when ids
-    are roughly dense; for pathological id clustering pass a larger
+    B agree without persisting the sharded frame.  Computed in
+    ``decimal(38,0)``: exact for hash-derived doc ids spanning the whole
+    int64 range (the previous ``(x - lo) * n / span`` long form
+    overflowed under ANSI mode for such ids, and even ``x - lo`` alone
+    exceeds int64 when lo < 0 < hi with a huge spread); ``span``/
+    ``width`` are Python ints (arbitrary precision) shipped as decimal
+    literals.  Spark's decimal division rounds at a bounded scale, but
+    rounding is monotone, so the shard id stays non-decreasing in ``x``
+    — order-contiguity (the only property phases A/B rely on) is exact
+    even where a boundary id lands one bucket over.  Uniform only when
+    ids are roughly dense; for pathological id clustering pass a larger
     ``n_shards`` (a skewed shard slows one window task but never changes
     the result).
     """
-    span = hi - lo + 1
-    return F.floor(
-        (F.col(order_col).cast("long") - F.lit(lo))
-        * F.lit(int(n_shards))
-        / F.lit(int(span))
-    ).cast("int")
+    span = hi - lo + 1  # python int: exact even past int64
+    width = (span + n_shards - 1) // n_shards
+    x = F.col(order_col).cast("long").cast("decimal(38,0)")
+    # width as a string literal: for the pathological full-int64 id span
+    # with tiny n_shards, width itself exceeds int64 (a long lit would
+    # overflow); decimal(38,0) holds it exactly
+    shard = F.floor(
+        (x - F.lit(lo).cast("decimal(38,0)"))
+        / F.lit(str(int(width))).cast("decimal(38,0)")
+    )
+    return shard.cast("int")
 
 
 def packed_token_offsets(

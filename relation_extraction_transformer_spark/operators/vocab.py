@@ -40,12 +40,56 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def ranked_vocab(counts: DataFrame, threshold: int = 0) -> DataFrame:
     """A2/O4 (ref:utils/vocab.py:71-78): drop below-threshold tokens, rank
-    by (cnt desc, token asc), ids offset by the PAD/UNK prefix."""
+    by (cnt desc, token asc), ids offset by the PAD/UNK prefix.
+
+    Two-phase distributed rank — the semantic twin of
+    ``row_number() OVER (ORDER BY cnt DESC, token)`` with NO
+    SinglePartition exchange (the same scheme as operators/packing.py):
+
+      Phase A — a LOCAL row_number inside each ``(cnt, leading
+      codepoint)`` group via a *partitioned* window; all groups rank in
+      parallel.  Splitting ties on the leading codepoint keeps the giant
+      low-frequency tie groups (Zipf tail: cnt==1 can be half the vocab)
+      from serializing into one task, and is order-consistent with
+      Spark's bytewise-UTF8 string comparator because UTF-8 byte order
+      preserves codepoint order.
+
+      Phase B — the group-size table (distinct cnt values × leading
+      codepoints; vocab-metadata-sized, like packing's shard totals) is
+      collected, prefix-summed driver-side in global ``(cnt desc, head
+      asc)`` order, and the exclusive offsets broadcast-joined back:
+      ``token_id = offset + local_rank + |PREFIX| - 1``.
+
+    Row-identical to the global-window form for any input
+    (tests/test_vocab.py property-checks this, incl. multibyte tokens).
+    """
     filtered = counts.filter(F.col("cnt") >= threshold) if threshold > 1 else counts
-    return filtered.withColumn(
-        "token_id",
-        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
-        + len(C.VOCAB_PREFIX) - 1,
+    spark = filtered.sparkSession
+    base = len(C.VOCAB_PREFIX) - 1
+    headed = filtered.withColumn(
+        "_hd", F.ascii(F.substring(F.col("token"), 1, 1))
+    )
+    local_w = Window.partitionBy("cnt", "_hd").orderBy(F.asc("token"))
+    local = headed.withColumn("_lr", F.row_number().over(local_w))
+    sizes = (
+        headed.groupBy("cnt", "_hd")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    sizes.sort(key=lambda r: (-r["cnt"], r["_hd"]))
+    offs, run = [], 0
+    for r in sizes:
+        offs.append((r["cnt"], r["_hd"], run))
+        run += r["_n"]
+    schema = headed.select("cnt", "_hd").schema.add("_off", "long")
+    off_df = spark.createDataFrame(offs, schema)
+    return (
+        local.join(F.broadcast(off_df), ["cnt", "_hd"])
+        .withColumn(
+            "token_id",
+            (F.col("_off") + F.col("_lr") + F.lit(base)).cast("int"),
+        )
+        .select(*counts.columns, "token_id")
     )
 
 

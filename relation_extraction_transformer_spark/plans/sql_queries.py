@@ -247,6 +247,20 @@ register(
 )
 
 
+def _vocab_ranked_spark(spark, sf):
+    # two-phase distributed rank (operators/vocab.ranked_vocab): identical
+    # rows to the global-window SQL below, but no SinglePartition exchange
+    from ..operators.vocab import ranked_vocab
+
+    return ranked_vocab(
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+
+
 register(
     "vocab_ranked",  # O4: ids by desc frequency, deterministic tie-break
     # (ref:utils/vocab.py:71-78; ids offset by 2 for PAD/UNK)
@@ -260,15 +274,7 @@ register(
     )
     """,
 )(
-    lambda spark, sf: t(spark, sf, "documents")
-    .select(F.explode(F.split("text", " ")).alias("token"))
-    .groupBy("token")
-    .agg(F.count(F.lit(1)).alias("cnt"))
-    .filter(F.col("cnt") >= 10)
-    .withColumn(
-        "token_id",
-        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))) + 1,
-    )
+    _vocab_ranked_spark
 )
 
 

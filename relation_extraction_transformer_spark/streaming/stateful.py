@@ -31,9 +31,12 @@ def _dedup_fn(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    """Python side is set-membership only: the url hash arrives as the
+    JVM-computed ``url_h`` column (xxhash64, whole-stage codegen), so no
+    per-row Python hashing happens in the hot path."""
     seen = set(state.get[0]) if state.exists else set()
     for pdf in pdfs:
-        h = pdf["url"].map(hash_url)
+        h = pdf["url_h"]
         fresh = ~h.isin(seen) & ~h.duplicated()
         seen.update(h[fresh])
         out = pdf.loc[fresh, ["url", "warc_ts", "lang", "text"]]
@@ -42,20 +45,15 @@ def _dedup_fn(
     state.update((list(seen),))
 
 
-def hash_url(url: str) -> int:
-    # stable 63-bit hash (python hash() is salted per process)
-    import hashlib
-
-    return int.from_bytes(
-        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big"
-    ) >> 1
-
-
 def dedup_pages_stream(pages_stream: DataFrame) -> DataFrame:
     """Streaming pages -> first-seen-only pages (exactly-once per url per
-    state lifetime)."""
+    state lifetime).  ``url_h = xxhash64(url)`` is computed once JVM-side
+    and reused for both the state shard key and the dedup membership key
+    (same hash → a url always lands on the shard that owns its state)."""
     sharded = pages_stream.withColumn(
-        "shard", F.pmod(F.xxhash64("url"), F.lit(N_SHARDS)).cast("int")
+        "url_h", F.xxhash64("url")
+    ).withColumn(
+        "shard", F.pmod(F.col("url_h"), F.lit(N_SHARDS)).cast("int")
     )
     return sharded.groupBy("shard").applyInPandasWithState(
         _dedup_fn,

@@ -106,7 +106,12 @@ def curate(
     bands = MH.minhash_bands(
         kept, "doc_id", hashes=MH.word_shingle_hashes(F.col("text"))
     )
-    pairs = MH.band_candidate_pairs(bands, "doc_id", "doc_a", "doc_b")
+    # thread persisted_out so the MEMORY_AND_DISK bands cache is released
+    # with the packer handle in main()/tests (ADVICE r4: without it each
+    # curate() call leaked one cache entry in a long-lived session)
+    pairs = MH.band_candidate_pairs(
+        bands, "doc_id", "doc_a", "doc_b", persisted_out=persisted_out
+    )
     sh = kept.select(
         "doc_id", F.array_distinct(MH.word_shingles(F.col("text"))).alias("s")
     )

@@ -132,3 +132,25 @@ def test_funnel_counts_golden(run):
         "after_near_dedup": 477,
         "after_sampling": 249,
     }
+
+
+def test_curate_releases_all_cache_entries(spark):
+    """ADVICE r4: curate() must thread persisted_out to EVERY persist it
+    triggers (the LSH bands cache leaked before — only the packer handle
+    was threaded).  After unpersisting the returned handles, no cache
+    entry from this call may remain."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    handles: list = []
+    stages, report = curate(spark, docs, pack_len=256, persisted_out=handles)
+    # bands (near-dedup) + packer input: both handles must be surfaced
+    assert len(handles) >= 2, handles
+    before = {
+        rdd_id for rdd_id, _ in
+        spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    for h in handles:
+        h.unpersist(blocking=True)
+    after = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(after) <= max(0, len(before) - len(handles)), (
+        f"cache entries leaked: {len(before)} before, {len(after)} after"
+    )

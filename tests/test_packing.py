@@ -112,3 +112,19 @@ def test_pack_segments_survives_null_group_values(spark):
         pos = by_group[k]
         assert r.pack_id == ((pos - 1) * 100) // 256, (r.lang, r.doc_id)
         assert r.pack_offset == ((pos - 1) * 100) % 256
+
+
+def test_full_int64_span_ids_no_ansi_overflow(spark):
+    """ADVICE r4: hash-derived doc ids (e.g. xxhash64 output) span nearly
+    the whole int64 range; the shard expression must not overflow under
+    ANSI mode (Spark 4 default) and must still match the global window."""
+    imax = 2**63 - 1
+    rows = [
+        (-imax - 1, 10), (-imax // 2, 20), (-3, 30), (0, 40),
+        (7, 50), (imax // 3, 60), (imax - 1, 70), (imax, 80),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    for n_shards in (1, 4, 64):
+        got = PK.pack_segments(docs, pack_len=64, n_shards=n_shards)
+        want = _global_pack(docs, 64)
+        assert _rows(got) == _rows(want), n_shards

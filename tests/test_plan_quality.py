@@ -139,6 +139,23 @@ def test_bpe_encode_plan_is_narrow(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_vocab_ranked_plan_has_no_single_partition_exchange(spark):
+    """Round-5 rewrite: frequency ranking must never funnel the whole
+    vocab through one task — the two-phase (partitioned window +
+    broadcast offsets) form replaces the global Window.orderBy, so the
+    plan must contain no SinglePartition exchange (the packing.py
+    discipline, applied to the last remaining global window)."""
+    from relation_extraction_transformer_spark.plans import sql_queries as Q
+
+    df = Q.REGISTRY["vocab_ranked"].spark(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, (
+        "offsets must come back as a broadcast join"
+    )
+
+
 def test_pii_redaction_plan_is_a_pure_map_stage(spark):
     """PII scrub: planted-concat + 3 regexp_replace chains + md5 must
     compile to a single narrow projection over the pruned scan — zero

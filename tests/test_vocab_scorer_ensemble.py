@@ -43,6 +43,44 @@ def test_vocab_build_and_embedding(spark, tmp_path):
     assert np.array_equal(emb, emb2)
 
 
+def test_ranked_vocab_matches_global_window(spark):
+    """The two-phase distributed rank must be row-identical to the
+    single-window form it replaced — across threshold settings, big tie
+    groups (Zipf tail), and multibyte tokens (leading-codepoint grouping
+    must agree with Spark's bytewise-UTF8 comparator)."""
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(7)
+    pool = (
+        [f"tok{i:03d}" for i in range(60)]
+        + ["éclair", "中文", "über", "ж", "zz",
+           "é", "\U0001F600moji", "", " lead", "中"]
+    )
+    rows = [(t,) for t in pool for _ in range(int(rng.integers(1, 6)))]
+    counts = V.token_counts(
+        spark.createDataFrame(
+            [(" ".join(t for (t,) in rows),)], "text: string"
+        )
+    )
+    for threshold in (0, 2, 3):
+        got = V.ranked_vocab(counts, threshold=threshold)
+        filtered = (
+            counts.filter(F.col("cnt") >= threshold)
+            if threshold > 1 else counts
+        )
+        want = filtered.withColumn(
+            "token_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("token"))
+            ) + len(C.VOCAB_PREFIX) - 1,
+        )
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w, f"threshold={threshold}: first diff " + str(
+            next(p for p in zip(g, w) if p[0] != p[1])
+        )
+
+
 def test_scorer_reference_semantics(spark):
     # hand-built confusion exercising every null-class rule
     rows = [
