@@ -115,3 +115,34 @@ def extract_text(pages: DataFrame) -> DataFrame:
         F.col("html").cast("string"), "<p>(.*)</p>", 1
     )
     return pages.withColumn("extracted_text", body)
+
+
+def extract_text_html(
+    pages: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """General real-world HTML -> text extraction (SURVEY §2.7 UDF 1).
+
+    The from-scratch scanner in functions/html_text.py (see its module
+    docstring for the exact byte-level semantics) wrapped in an
+    Arrow-batched pandas UDF: batches cross to Python once per Arrow
+    batch, the scan itself is index-jumping ``str.find`` work (no regex
+    backtracking blowups on adversarial markup).  Survives unclosed
+    tags, script/style bodies, comments hiding tags, ``>`` inside
+    quoted attributes, entities, and malformed UTF-8 — byte-identical
+    to an independent regex-chain oracle on the messy fixture set
+    (tests/test_html_extract.py).
+
+    Use :func:`extract_text` (pure JVM regexp) when the corpus shape is
+    controlled, as in the synthetic benchmark; this UDF is the path for
+    crawled HTML.  On the synthetic corpus the two agree with the
+    ``text`` column exactly (same fixture suite).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.html_text import html_bytes_to_text
+
+    @pandas_udf("string")
+    def _extract(col: pd.Series) -> pd.Series:
+        return col.map(html_bytes_to_text)
+
+    return pages.withColumn(out_col, _extract(F.col(html_col)))
