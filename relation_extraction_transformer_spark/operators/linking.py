@@ -66,6 +66,34 @@ def entity_dictionary(spark: SparkSession) -> DataFrame:
     )
 
 
+def aggregate_dictionary(dictionary: DataFrame) -> DataFrame:
+    """Pre-aggregate an alias dictionary to ONE row per alias with a
+    bounded candidate array (see the bound note in :func:`link_surface`).
+
+    Split out of :func:`link_surface` so a big dictionary can be
+    aggregated ONCE, materialized as a table, and reused across linking
+    jobs (``pre_aggregated=True``).  Beyond the obvious reuse saving,
+    materialization matters for AQE skew handling: an aggregate sitting
+    between the shuffle and the sort-merge join disqualifies
+    ``OptimizeSkewedJoin`` (the rule needs raw shuffle stages under both
+    join children to replay partitions), so the inline-aggregated form
+    can never skew-split a hot alias — the materialized form can, and
+    bench.py's skew_join section measures exactly that."""
+    reduced = dictionary.groupBy("alias_norm", "alias_rank", "ner_type").agg(
+        F.min(F.struct("entity_id", "canonical_name")).alias("__best")
+    )
+    return reduced.groupBy("alias_norm").agg(
+        F.collect_list(
+            F.struct(
+                "alias_rank",
+                "ner_type",
+                F.col("__best")["entity_id"].alias("entity_id"),
+                F.col("__best")["canonical_name"].alias("canonical_name"),
+            )
+        ).alias("__cands")
+    )
+
+
 def link_surface(
     df: DataFrame,
     dictionary: DataFrame,
@@ -73,6 +101,7 @@ def link_surface(
     type_col: str,
     out_prefix: str,
     broadcast_dict: bool = True,
+    pre_aggregated: bool = False,
 ) -> DataFrame:
     """Attach ``<out_prefix>_entity_id`` / ``<out_prefix>_canonical`` to df
     by best-candidate linking of ``surface_col``.
@@ -93,18 +122,8 @@ def link_surface(
     # module docstring: the identical plan minus the broadcast hint, so
     # Spark shuffles both sides into a sort-merge join (AQE skew-join
     # splits hot aliases at runtime).  Same results by construction.
-    reduced = dictionary.groupBy("alias_norm", "alias_rank", "ner_type").agg(
-        F.min(F.struct("entity_id", "canonical_name")).alias("__best")
-    )
-    dict_agg = reduced.groupBy("alias_norm").agg(
-        F.collect_list(
-            F.struct(
-                "alias_rank",
-                "ner_type",
-                F.col("__best")["entity_id"].alias("entity_id"),
-                F.col("__best")["canonical_name"].alias("canonical_name"),
-            )
-        ).alias("__cands")
+    dict_agg = (
+        dictionary if pre_aggregated else aggregate_dictionary(dictionary)
     )
     dict_side = F.broadcast(dict_agg) if broadcast_dict else dict_agg
     joined = df.withColumn(

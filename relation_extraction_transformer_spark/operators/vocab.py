@@ -66,9 +66,15 @@ def ranked_vocab(counts: DataFrame, threshold: int = 0) -> DataFrame:
     filtered = counts.filter(F.col("cnt") >= threshold) if threshold > 1 else counts
     spark = filtered.sparkSession
     base = len(C.VOCAB_PREFIX) - 1
+    # Phases A and B both consume the counts; without a materialization
+    # the upstream aggregation (corpus-wide explode + count — the
+    # dominant cost) would run twice.  localCheckpoint rather than
+    # persist: no cache entry outlives the call in a long-lived session
+    # (the driver's 50-query battery), same discipline as the graph
+    # queries' _materialize_release.
     headed = filtered.withColumn(
         "_hd", F.ascii(F.substring(F.col("token"), 1, 1))
-    )
+    ).localCheckpoint(eager=True)
     local_w = Window.partitionBy("cnt", "_hd").orderBy(F.asc("token"))
     local = headed.withColumn("_lr", F.row_number().over(local_w))
     sizes = (

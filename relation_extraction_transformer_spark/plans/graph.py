@@ -127,6 +127,32 @@ def merge_edge_deltas(
     )
 
 
+def degree_distribution(
+    pairs: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """In/out degree distribution over the distinct ``(src -> dst)`` edge
+    set: rows ``(direction, degree, n_nodes)``.  Works over raw triples
+    (subj/obj) or the canonical edges table (src/dst) — the shared core
+    of the registered ``kg_degree_distribution`` query AND the
+    streaming-refresh path (analytics re-run on the incrementally merged
+    graph, tests/test_lineage_streaming_media.py)."""
+    edges = pairs.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).distinct()
+    out_deg = edges.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    in_deg = edges.groupBy(F.col("_d").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        out_deg.select(F.lit("out").alias("direction"), "degree")
+        .unionAll(in_deg.select(F.lit("in").alias("direction"), "degree"))
+        .groupBy("direction", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
 def graph_cardinality_metrics(edges: DataFrame, rsd: float = 0.02) -> DataFrame:
     """Mergeable cardinality metrics over the edges table via HLL++
     (``approx_count_distinct``): distinct subjects / objects / predicates

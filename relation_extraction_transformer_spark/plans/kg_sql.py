@@ -636,20 +636,9 @@ def _kg_degree_distribution_spark(spark: SparkSession, sf_dir: str) -> DataFrame
     distribution of the distinct (subj -> obj) edge set — the first
     sanity report a graph build ships (hub detection, skew sizing for
     the downstream joins).  Two groupBys over a distinct edge list."""
-    tri = spark.read.parquet(TRIPLES_PARQUET)
-    edges = tri.select("subj", "obj").distinct()
-    out_deg = edges.groupBy(F.col("subj").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    in_deg = edges.groupBy(F.col("obj").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    return (
-        out_deg.select(F.lit("out").alias("direction"), "degree")
-        .unionAll(in_deg.select(F.lit("in").alias("direction"), "degree"))
-        .groupBy("direction", "degree")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-    )
+    from .graph import degree_distribution
+
+    return degree_distribution(spark.read.parquet(TRIPLES_PARQUET))
 
 
 KG_REGISTRY["kg_degree_distribution"] = QuerySpec(
@@ -675,7 +664,9 @@ _PR_ITERS = 5
 _PR_DAMP = 0.85
 
 
-def _kg_pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_pagerank_spark(
+    spark: SparkSession, sf_dir: str, triples: DataFrame | None = None
+) -> DataFrame:
     """PageRank over the extracted entity graph, {_PR_ITERS} power
     iterations at damping {_PR_DAMP} — the canonical iterative graph
     algorithm, expressed as repeated (pr JOIN edges ON src -> groupBy
@@ -689,7 +680,9 @@ def _kg_pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     on dst — the standard distributed PR round; at real scale the rank
     frame is checkpointed/persisted between rounds and the edge list is
     pre-partitioned by src so the join is co-located."""
-    tri = spark.read.parquet(TRIPLES_PARQUET)
+    tri = triples if triples is not None else spark.read.parquet(
+        TRIPLES_PARQUET
+    )
     edges = tri.select("subj", "obj").distinct().persist()
     nodes = (
         edges.select(F.col("subj").alias("node"))
@@ -804,10 +797,16 @@ def _materialize_release(df: DataFrame, *handles: DataFrame) -> DataFrame:
     return out
 
 
-def _und_edges(spark: SparkSession) -> DataFrame:
+def _und_edges(
+    spark: SparkSession, triples: DataFrame | None = None
+) -> DataFrame:
     """Distinct undirected (a < b) edge set of the extracted entity
-    graph — shared by the triangle census and the k-core peel."""
-    tri = spark.read.parquet(TRIPLES_PARQUET)
+    graph — shared by the triangle census and the k-core peel.
+    ``triples`` overrides the artifact read (bench.py times the same
+    operators over a corpus-sized triples frame)."""
+    tri = triples if triples is not None else spark.read.parquet(
+        TRIPLES_PARQUET
+    )
     return (
         tri.filter(F.col("subj") != F.col("obj"))
         .select(
@@ -828,7 +827,9 @@ def _und_degrees(edges: DataFrame, deg_col: str = "deg") -> DataFrame:
     )
 
 
-def _kg_triangle_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_triangle_count_spark(
+    spark: SparkSession, sf_dir: str, triples: DataFrame | None = None
+) -> DataFrame:
     """Triangle census + global clustering coefficient of the extracted
     entity graph — the standard structure report for a freshly built KG
     (community density, hub sanity).
@@ -848,7 +849,7 @@ def _kg_triangle_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     even product — double division would lose bits past 2^53 at hub
     degrees); clustering = 3*triangles/wedges, one IEEE double division
     + ROUND(,6) so both engines agree bit-for-bit."""
-    und = _und_edges(spark).persist()
+    und = _und_edges(spark, triples).persist()
     deg = _und_degrees(und).persist()
     keyed = und.join(
         deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"

@@ -57,6 +57,34 @@ def test_linking_best_candidate(spark):
     assert linked2 == {r.subj: r.subj_entity_id for r in linked}
 
 
+def test_link_surface_pre_aggregated_dictionary_matches_inline(spark):
+    """Round 5: aggregate_dictionary + pre_aggregated=True (the
+    materialized-dictionary path that makes the sort-merge join AQE
+    skew-splittable, bench.py skew_join section) must link identically
+    to the inline form, broadcast and sort-merge alike."""
+    dictionary = LINK.entity_dictionary(spark)
+    agg = LINK.aggregate_dictionary(dictionary)
+    df = spark.createDataFrame(
+        [("Alice Turner", "PERSON"), ("turner", "PERSON"),
+         ("Acme Corp", "ORGANIZATION"), ("Unknownia", "CITY")],
+        "surface: string, ner_type: string",
+    )
+
+    def rows(d, pre, bc):
+        return sorted(
+            tuple(r)
+            for r in LINK.link_surface(
+                df, d, "surface", "ner_type", "ent",
+                broadcast_dict=bc, pre_aggregated=pre,
+            ).collect()
+        )
+
+    want = rows(dictionary, False, True)
+    assert rows(agg, True, True) == want
+    assert rows(agg, True, False) == want
+    assert rows(dictionary, False, False) == want
+
+
 def test_minhash_blocking_finds_near_duplicates(spark):
     names = spark.createDataFrame(
         [
