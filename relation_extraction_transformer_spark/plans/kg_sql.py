@@ -683,7 +683,15 @@ def _kg_pagerank_spark(
     tri = triples if triples is not None else spark.read.parquet(
         TRIPLES_PARQUET
     )
-    edges = tri.select("subj", "obj").distinct().persist()
+    # the cache is hash-partitioned on subj — the per-iteration join key —
+    # so every power-iteration join reads the cached partitioning instead
+    # of re-exchanging the edge list (InMemoryTableScan preserves
+    # outputPartitioning); the one irreducible shuffle per round is the
+    # contribution groupBy on dst
+    edges = (
+        tri.select("subj", "obj").distinct()
+        .repartition(F.col("subj")).persist()
+    )
     nodes = (
         edges.select(F.col("subj").alias("node"))
         .unionAll(edges.select(F.col("obj").alias("node")))
