@@ -88,6 +88,10 @@ def make_spark(cores: int) -> SparkSession:
     )
 
 
+# not source-keyed like the triples/dict caches below: page GENERATION is
+# frozen by the byte-determinism invariant (same (seed, n) -> identical
+# pages, tests/test_end_to_end.py) — a generator change breaks those
+# tests loudly before it could silently stale a bench corpus
 PAGES_PATH = f"/tmp/ret_bench_pages_sf{_SF}"
 PAGES_PATH_KG = f"/tmp/ret_bench_pages_kg_sf{_SF}"
 
@@ -185,7 +189,25 @@ def numpy_ceiling_control(small: int, large: int, reps: int = 120) -> dict:
     }
 
 
-TRIPLES_BENCH_PATH = f"/tmp/ret_bench_triples_sf{_SF}"
+def _source_key(*modules) -> str:
+    """Cache-buster for /tmp bench materializations that outlive rounds:
+    a digest of the producing modules' source, so editing the pipeline
+    (or the dictionary aggregation) invalidates the cached parquet
+    instead of silently timing stale data (review r5)."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    for m in modules:
+        h.update(inspect.getsource(m).encode())
+    return h.hexdigest()[:10]
+
+
+def triples_bench_path() -> str:
+    from relation_extraction_transformer_spark.plans import pipeline as PL
+    from relation_extraction_transformer_spark.sources import pages as PG
+
+    return f"/tmp/ret_bench_triples_sf{_SF}_{_source_key(PL, PG)}"
 
 
 def run_graph_bench(spark: SparkSession) -> dict[str, float]:
@@ -198,12 +220,13 @@ def run_graph_bench(spark: SparkSession) -> dict[str, float]:
     from relation_extraction_transformer_spark.plans import kg_sql as KQ
     from relation_extraction_transformer_spark.plans import pipeline as PL
 
-    if not os.path.exists(os.path.join(TRIPLES_BENCH_PATH, "_SUCCESS")):
+    path = triples_bench_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         pages = spark.read.parquet(PAGES_PATH_KG)
         PL.triples_plan(pages, spark, keep_probs=False).write.mode(
             "overwrite"
-        ).parquet(TRIPLES_BENCH_PATH)
-    triples = spark.read.parquet(TRIPLES_BENCH_PATH)
+        ).parquet(path)
+    triples = spark.read.parquet(path)
 
     def timed(fn) -> float:
         fn().write.format("noop").mode("overwrite").save()  # warm
@@ -258,7 +281,7 @@ def run_skew_join_bench(spark: SparkSession) -> dict:
     # demonstration: OptimizeSkewedJoin requires raw shuffle stages
     # under both join children, so the inline-aggregated dict side
     # disqualifies the rule — see linking.aggregate_dictionary.
-    dict_path = f"/tmp/ret_bench_dict_agg_{n_dict}"
+    dict_path = f"/tmp/ret_bench_dict_agg_{n_dict}_{_source_key(LK)}"
     if not os.path.exists(os.path.join(dict_path, "_SUCCESS")):
         LK.aggregate_dictionary(dictionary).write.mode("overwrite").parquet(
             dict_path

@@ -167,13 +167,17 @@ def link_triples(
     ``broadcast_dict=False`` selects the sort-merge form for alias
     dictionaries too large to broadcast (same plan, same results).
     """
+    # aggregate the dictionary ONCE for both endpoint joins (review r5:
+    # passing the raw dictionary ran the two-groupBy alias aggregation
+    # twice per call)
+    dict_agg = aggregate_dictionary(dictionary)
     linked = link_surface(
-        triples, dictionary, "subj", "subj_type", "subj",
-        broadcast_dict=broadcast_dict,
+        triples, dict_agg, "subj", "subj_type", "subj",
+        broadcast_dict=broadcast_dict, pre_aggregated=True,
     )
     linked = link_surface(
-        linked, dictionary, "obj", "obj_type", "obj",
-        broadcast_dict=broadcast_dict,
+        linked, dict_agg, "obj", "obj_type", "obj",
+        broadcast_dict=broadcast_dict, pre_aggregated=True,
     )
     return linked.withColumn(
         "subj_entity_id",

@@ -60,8 +60,9 @@ def ranked_vocab(counts: DataFrame, threshold: int = 0) -> DataFrame:
       asc)`` order, and the exclusive offsets broadcast-joined back:
       ``token_id = offset + local_rank + |PREFIX| - 1``.
 
-    Row-identical to the global-window form for any input
-    (tests/test_vocab.py property-checks this, incl. multibyte tokens).
+    Row-identical to the global-window form for any input — including
+    multibyte tokens and NULL/empty tokens
+    (tests/test_vocab_scorer_ensemble.py::test_ranked_vocab_matches_global_window).
     """
     filtered = counts.filter(F.col("cnt") >= threshold) if threshold > 1 else counts
     spark = filtered.sparkSession
@@ -82,15 +83,29 @@ def ranked_vocab(counts: DataFrame, threshold: int = 0) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
-    sizes.sort(key=lambda r: (-r["cnt"], r["_hd"]))
+    # None-safe ordering (a NULL token row gives _hd = NULL; Python 3
+    # cannot order None against int) — NULLS FIRST within a cnt group,
+    # matching Spark's ASC NULLS FIRST default the window uses
+    sizes.sort(
+        key=lambda r: (-r["cnt"], r["_hd"] is not None, r["_hd"] or 0)
+    )
     offs, run = [], 0
     for r in sizes:
         offs.append((r["cnt"], r["_hd"], run))
         run += r["_n"]
     schema = headed.select("cnt", "_hd").schema.add("_off", "long")
-    off_df = spark.createDataFrame(offs, schema)
+    off_df = spark.createDataFrame(offs, schema).select(
+        F.col("cnt").alias("_off_cnt"),
+        F.col("_hd").alias("_off_hd"),
+        "_off",
+    )
+    # null-safe equi-join so a NULL-_hd row still finds its offset (the
+    # packing.py phase-B discipline; a plain equi-join drops it)
+    cond = F.col("cnt").eqNullSafe(F.col("_off_cnt")) & F.col(
+        "_hd"
+    ).eqNullSafe(F.col("_off_hd"))
     return (
-        local.join(F.broadcast(off_df), ["cnt", "_hd"])
+        local.join(F.broadcast(off_df), cond)
         .withColumn(
             "token_id",
             (F.col("_off") + F.col("_lr") + F.lit(base)).cast("int"),

@@ -49,7 +49,15 @@ def dedup_pages_stream(pages_stream: DataFrame) -> DataFrame:
     """Streaming pages -> first-seen-only pages (exactly-once per url per
     state lifetime).  ``url_h = xxhash64(url)`` is computed once JVM-side
     and reused for both the state shard key and the dedup membership key
-    (same hash → a url always lands on the shard that owns its state)."""
+    (same hash → a url always lands on the shard that owns its state).
+
+    STATE FORMAT v2 (round 5): the membership hash changed from
+    driver-side blake2b to xxhash64.  A checkpoint written by the v1
+    operator holds hashes the v2 stream can never match — every seen url
+    would re-emit once and the stale entries would pin state forever.
+    Restarting an existing deployment across this change requires a
+    fresh checkpoint directory (the standard Structured Streaming rule
+    for stateful-logic changes); new deployments are unaffected."""
     sharded = pages_stream.withColumn(
         "url_h", F.xxhash64("url")
     ).withColumn(

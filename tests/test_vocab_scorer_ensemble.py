@@ -80,6 +80,33 @@ def test_ranked_vocab_matches_global_window(spark):
             next(p for p in zip(g, w) if p[0] != p[1])
         )
 
+    # review r5: a NULL token (possible from arbitrary upstream counts)
+    # must rank like the global window does (NULLS FIRST within its cnt
+    # group), not crash the driver-side sort or drop through the join
+    null_counts = spark.createDataFrame(
+        [(None, 5), ("", 5), ("b", 5), ("a", 3)],
+        "token string, cnt long",
+    )
+    got = sorted(
+        (tuple(r) for r in V.ranked_vocab(null_counts).collect()),
+        key=repr,
+    )
+    from pyspark.sql import Window as W
+
+    want = sorted(
+        (
+            tuple(r)
+            for r in null_counts.withColumn(
+                "token_id",
+                F.row_number().over(
+                    W.orderBy(F.desc("cnt"), F.asc("token"))
+                ) + 1,
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+
 
 def test_scorer_reference_semantics(spark):
     # hand-built confusion exercising every null-class rule
