@@ -249,6 +249,43 @@ def run_graph_bench(spark: SparkSession) -> dict[str, float]:
     }
 
 
+def run_html_extract_bench(spark: SparkSession) -> dict:
+    """Throughput of the general real-HTML extractor (round 5:
+    functions/html_text.py scanner in an Arrow pandas UDF) vs the JVM
+    regexp fast path, same pages corpus, identical output column.  The
+    UDF is the path crawled HTML takes at scale; its per-page cost and
+    the Python-crossing tax are what this section makes visible
+    round-over-round."""
+    from relation_extraction_transformer_spark.sources import pages as PG
+
+    pages = spark.read.parquet(PAGES_PATH_KG)
+    n = pages.count()
+
+    def timed(fn) -> float:
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+        return round(min(walls), 3)
+
+    jvm = timed(
+        lambda: PG.extract_text(pages).select("url", "extracted_text")
+    )
+    udf = timed(
+        lambda: PG.extract_text_html(pages).select("url", "extracted_text")
+    )
+    return {
+        "pages": n,
+        "jvm_fast_path_sec": jvm,
+        "arrow_udf_sec": udf,
+        "pages_per_sec_jvm": round(n / jvm, 1),
+        "pages_per_sec_udf": round(n / udf, 1),
+        "udf_tax": round(udf / jvm, 2),
+    }
+
+
 def run_skew_join_bench(spark: SparkSession) -> dict:
     """AQE skew-join demonstration for the big-dictionary linking path
     (VERDICT r4 #7).
@@ -459,6 +496,7 @@ def main() -> None:
 
     skew = run_skew_bench(spark)
     skew_join = run_skew_join_bench(spark)
+    html_extract = run_html_extract_bench(spark)
 
     result = {
         "metric": "headline_total",
@@ -474,6 +512,7 @@ def main() -> None:
         "pages_gen_sec": round(gen_sec, 3),
         "skew": skew,
         "skew_join": skew_join,
+        "html_extract": html_extract,
     }
 
     # N -> 4N scaling evidence, EVERY run (the north rule's two-cluster-
