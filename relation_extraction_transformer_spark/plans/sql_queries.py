@@ -2715,3 +2715,145 @@ register(
     "decontamination_bloom",
     REGISTRY["decontamination_overlap"].oracle,
 )(_spark_decontamination_bloom)
+
+
+# ===========================================================================
+# §8 Round-5 extension: SemDeDup (semantic dedup via embedding clustering)
+# ===========================================================================
+
+_SEMDEDUP_T = 0.999
+
+
+def _spark_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023, 'SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication'): cluster embeddings, then
+    drop all-but-one member of every within-cluster near-duplicate group.
+    Clustering bounds the quadratic pairwise term to cluster sizes — the
+    property that makes semantic dedup feasible at corpus scale (the
+    within-cell self-join shuffles on the cell key, never all-pairs).
+
+    Determinism choices (so DuckDB agrees bit-for-bit): clusters are the
+    IVF cell assignment already proven cross-engine (`ann_ivf_topk` —
+    centroids = first _IVF_CELLS vectors, rounded-quantized cosine,
+    (csim desc, cell) tie-break); the keeper of a duplicate group is the
+    LOWEST vec_id (drop b iff some same-cell a < b has raw quantized
+    cosine >= _SEMDEDUP_T; integer dot + IEEE sqrt/divide compare
+    identically in both engines).  The synthetic embeddings hold no
+    >=0.999 pairs, so the query self-plants exact copies of every 50th
+    vector (the dedup_exact / embedding_near_dup_pairs pattern) —
+    proving the drop path on non-empty output: each planted copy must
+    cluster with and be dropped against exactly its source.
+    """
+    emb = t(spark, sf, "embeddings")
+    planted = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    # quantized vectors reused by assignment AND the pairwise stage:
+    # materialize once, no cache entry left behind (battery hygiene)
+    q = planted.select(
+        "vec_id", _spark_quantize(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=True)
+    cent = q.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    sims = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cell", _spark_cos("v", "cv").alias("csim")
+    ).filter(F.col("csim").isNotNull())
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    assign = (
+        sims.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    pairs = (
+        assign.alias("a")
+        .join(
+            assign.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            _spark_int_dot(F.col("a.v"), F.col("b.v")).alias("dot"),
+            _spark_int_dot(F.col("a.v"), F.col("a.v")).alias("aa"),
+            _spark_int_dot(F.col("b.v"), F.col("b.v")).alias("bb"),
+        )
+        .filter(
+            (F.col("aa") > 0)
+            & (F.col("bb") > 0)
+            & (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("aa").cast("double"))
+                    * F.sqrt(F.col("bb").cast("double"))
+                )
+                >= _SEMDEDUP_T
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        planted.select("vec_id")
+        .join(assign.select("vec_id", "cell"), "vec_id", "left")
+        .join(pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dropped", F.lit(False)).alias("dropped"),
+        )
+    )
+
+
+register(
+    "semdedup_drops",
+    f"""
+    WITH emb_planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    q AS (SELECT vec_id, {_DUCK_QUANT} AS v FROM emb_planted),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id < {_IVF_CELLS}),
+    sims AS (
+      SELECT q.vec_id, q.v, cent.cell,
+             {_DUCK_COS.format(a="q.v", b="cent.cv")} AS csim
+      FROM q, cent
+      WHERE CAST(list_sum(list_transform(q.v, x -> x * x)) AS BIGINT) > 0
+        AND CAST(list_sum(list_transform(cent.cv, x -> x * x)) AS BIGINT) > 0
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cell) AS crank
+        FROM sims
+      ) WHERE crank = 1
+    ),
+    pairwise AS (
+      SELECT b.vec_id,
+        CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+             i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+        CAST(list_sum(list_transform(a.v, x -> x * x)) AS BIGINT) AS aa,
+        CAST(list_sum(list_transform(b.v, x -> x * x)) AS BIGINT) AS bb
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT vec_id FROM pairwise
+      WHERE aa > 0 AND bb > 0
+        AND CAST(dot AS DOUBLE) /
+            (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE)))
+            >= {_SEMDEDUP_T}
+    )
+    SELECT p.vec_id, s.cell,
+           (d.vec_id IS NOT NULL) AS dropped
+    FROM emb_planted p
+    LEFT JOIN assign s ON s.vec_id = p.vec_id
+    LEFT JOIN dropped d ON d.vec_id = p.vec_id
+    """,
+)(_spark_semdedup)
