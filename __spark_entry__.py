@@ -130,9 +130,10 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "cube_event_stats",
     "set_ops_customers",
     "price_quantiles",
-    # round-5 addition: registered after the rotation, deferred so it
+    # round-5 additions: registered after the rotation, deferred so they
     # cannot displace a recorded battery row (pytest-gated like the rest)
     "semdedup_drops",
+    "dup_clusters",
 )
 _DRIVER_CAP = 50
 

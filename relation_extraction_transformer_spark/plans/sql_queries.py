@@ -2857,3 +2857,85 @@ register(
     LEFT JOIN dropped d ON d.vec_id = p.vec_id
     """,
 )(_spark_semdedup)
+
+
+_CC_ROUNDS = 6
+
+
+def _spark_dup_clusters(spark, sf):
+    """Duplicate-CLUSTER resolution: pairwise LSH candidates leave
+    chain ambiguity (a~b, b~c: which survives?); the pipeline answer is
+    connected components over the candidate graph with a lowest-id
+    keeper per component — one representative per duplicate cluster,
+    deterministic under any partitioning.  Reuses the engine's
+    canonicalization components machinery
+    (operators/canonicalize.connected_components: min-label propagation
+    with label shortcutting, O(log d) rounds, localCheckpoint per round
+    — the plan stays constant-depth at any corpus size).  The oracle
+    unrolls plain min-label propagation to a fixpoint
+    ({_CC_ROUNDS} materialized rounds >= any planted-cluster diameter;
+    tests/test_graph.py checks the Spark result against an independent
+    union-find as well)."""
+    from ..operators import canonicalize as CANON
+
+    pairs = _spark_minhash_pairs(spark, sf).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = CANON.connected_components(pairs)
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id")
+        .join(
+            labels.select(
+                F.col("node_id").alias("doc_id"), "component"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
+def _dup_clusters_oracle() -> str:
+    rounds = ""
+    prev = "l0"
+    for k in range(1, _CC_ROUNDS + 1):
+        rounds += f""",
+    l{k} AS MATERIALIZED (
+      SELECT node_id, MIN(component) AS component FROM (
+        SELECT node_id, component FROM {prev}
+        UNION ALL
+        SELECT s.dst AS node_id, l.component
+        FROM sym s JOIN {prev} l ON l.node_id = s.src
+      ) GROUP BY node_id
+    )"""
+        prev = f"l{k}"
+    return f"""
+    WITH {_DUCK_MH_CTES},
+    cpairs AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM mh_bands a JOIN mh_bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT src, dst FROM cpairs
+      UNION SELECT dst AS src, src AS dst FROM cpairs
+    ),
+    l0 AS MATERIALIZED (
+      SELECT node_id, node_id AS component FROM (
+        SELECT DISTINCT src AS node_id FROM sym
+      )
+    ){rounds}
+    SELECT d.doc_id,
+           COALESCE(l.component, d.doc_id) AS cluster_id,
+           (COALESCE(l.component, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN {prev} l ON l.node_id = d.doc_id
+    """
+
+
+register("dup_clusters", _dup_clusters_oracle())(_spark_dup_clusters)

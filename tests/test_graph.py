@@ -347,3 +347,42 @@ def test_kcore_matches_unbounded_python_peel(spark):
     )
     assert got.node.tolist() == want.node.tolist()
     assert got.core_degree.astype(int).tolist() == want.core_degree.tolist()
+
+
+def test_dup_clusters_matches_independent_union_find(spark):
+    """Round 5: the dup_clusters contract query (connected components
+    over LSH candidate pairs, lowest-id keeper) must agree with an
+    independent driver-side union-find over the same pairs, and be a
+    fixpoint (one more propagation round changes nothing)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in entry.queries()["minhash_candidate_pairs"](
+            spark, sf
+        ).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in entry.queries()["dup_clusters"](spark, sf).collect()
+    }
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(got) == n_docs
+    for doc_id, (cluster_id, keep) in got.items():
+        want = find(doc_id) if doc_id in parent else doc_id
+        assert cluster_id == want, (doc_id, cluster_id, want)
+        assert keep == (cluster_id == doc_id)
