@@ -1,0 +1,211 @@
+"""From-scratch media codecs: BMP (image), RIFF/WAV PCM16 (audio), and a
+length-prefixed motion-BMP container (video frames).
+
+Round 5 closes the "codec stubs, env-bound" gap for every format that
+needs NO external library: uncompressed 24-bit BMP and PCM WAV are fully
+specified public formats decodable with numpy/struct alone, and the MBMP
+frame container is this engine's own documented spec.  The multimodal
+operators sniff magic bytes — payloads in these formats take the REAL
+decode paths; anything else still falls back to the clearly-marked stub
+histogram, so the frozen-artifact oracle battery is untouched.
+
+Independence of the test gates (tests/test_codecs.py):
+- WAV: this module parses RIFF chunks from scratch; the test decodes the
+  same bytes with the stdlib ``wave`` module — a genuinely independent
+  implementation — and requires sample-exact agreement.
+- BMP: golden-pixel decode vectors plus encode→decode round-trip
+  identity on random images (the format has one canonical uncompressed
+  24-bit form given our fixed header).
+- MBMP: sampled frames must be byte-identical to the frames the builder
+  encoded at the sampled indices.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP — uncompressed 24-bit bottom-up, BITMAPINFOHEADER
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("pixels must be (H, W, 3) uint8")
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    img_size = row_size * h
+    # pixel data: bottom-up rows, BGR order
+    bgr = arr[::-1, :, ::-1]
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + rows.tobytes()
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) uint8 RGB.
+
+    Raises ValueError on anything that is not the canonical form
+    :func:`bmp_encode` emits (callers sniff + fall back to the stub)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError("unsupported BMP variant")
+    if w <= 0 or h == 0:
+        raise ValueError("bad dimensions")
+    flip = h > 0  # positive height = bottom-up
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    need = off + row_size * h
+    if len(data) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=off)
+    bgr = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def bmp_resize_nearest(data: bytes, tw: int, th: int) -> bytes:
+    """Real aspect-free nearest-neighbor resize: decode, index, encode."""
+    px = bmp_decode(data)
+    h, w, _ = px.shape
+    yi = (np.arange(th) * h // th).clip(0, h - 1)
+    xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return bmp_encode(px[yi][:, xi])
+
+
+def bmp_features(pixels: np.ndarray, dim: int = 16) -> list[float]:
+    """Real image features from decoded RGB: [mean RGB (3), std RGB (3),
+    10-bin normalized luma histogram] — ``dim`` floats."""
+    px = np.asarray(pixels, dtype=np.float64)
+    mean = px.mean(axis=(0, 1)).tolist()
+    std = px.std(axis=(0, 1)).tolist()
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    hist, _ = np.histogram(luma, bins=dim - 6, range=(0.0, 256.0))
+    return mean + std + (hist / max(luma.size, 1)).astype(float).tolist()
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF container, PCM16 mono/stereo (from-scratch chunk walk)
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(N,) or (N, C) int16 -> PCM16 WAV bytes."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    payload = arr.reshape(-1).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes -> ((N, C) int16 samples, sample_rate).
+
+    A from-scratch RIFF chunk walk (the independent test oracle is the
+    stdlib ``wave`` module): tolerates extra chunks (LIST, fact, ...)
+    and odd-length chunk padding; rejects non-PCM16 encodings."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, end = 12, len(data)
+    ch = rate = bits = None
+    payload = None
+    while pos + 8 <= end:
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("not PCM16")
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if ch is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(payload) // (2 * ch)
+    samples = np.frombuffer(payload, dtype="<i2", count=n * ch).reshape(n, ch)
+    return samples.copy(), int(rate)
+
+
+def wav_features(samples: np.ndarray, rate: int, dim: int = 16) -> list[float]:
+    """Real audio features from decoded PCM: [rms, zero-crossing rate,
+    peak, duration_sec, 12 log-energy FFT bands] — ``dim`` floats."""
+    mono = np.asarray(samples, dtype=np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    n = max(len(mono), 1)
+    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    peak = float(np.max(np.abs(mono))) if len(mono) else 0.0
+    dur = n / float(rate)
+    n_bands = dim - 4
+    spec = np.abs(np.fft.rfft(mono))
+    if len(spec) >= n_bands:
+        bands = np.array_split(spec, n_bands)
+        energies = [float(np.log1p(b.sum())) for b in bands]
+    else:
+        energies = [float(np.log1p(spec.sum()))] + [0.0] * (n_bands - 1)
+    return [rms, zcr, peak, dur] + energies
+
+
+# ---------------------------------------------------------------------------
+# MBMP — motion-BMP frame container (this engine's documented spec)
+# ---------------------------------------------------------------------------
+#
+#   magic  b"MBMP"            4 bytes
+#   n      u32 LE             frame count
+#   dt     u32 LE             frame interval, ms
+#   n ×  ( u32 LE frame byte length, then that many BMP bytes )
+
+MBMP_MAGIC = b"MBMP"
+
+
+def mbmp_encode(frames: list[bytes], frame_ms: int) -> bytes:
+    out = [MBMP_MAGIC, struct.pack("<II", len(frames), frame_ms)]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def mbmp_index(data: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """-> (n_frames, frame_ms, [(offset, length), ...]) without copying
+    frame bytes (sampling reads only the frames it needs)."""
+    if len(data) < 12 or data[:4] != MBMP_MAGIC:
+        raise ValueError("not MBMP")
+    n, frame_ms = struct.unpack_from("<II", data, 4)
+    pos, spans = 12, []
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("truncated MBMP index")
+        ln = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        if pos + ln > len(data):
+            raise ValueError("truncated MBMP frame")
+        spans.append((pos, ln))
+        pos += ln
+    return n, frame_ms, spans
