@@ -555,6 +555,37 @@ KG_REGISTRY["media_meta"] = QuerySpec(
 )
 
 
+def _media_real_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode surface (round 5): genuine BMP / PCM-WAV / MBMP
+    payloads decoded from scratch (functions/codecs.py) and featurized.
+    Rows-only: the decode math (FFT bands, pixel stats) has no DuckDB
+    form — the hard gate is tests/test_codecs.py, whose WAV oracle is
+    the INDEPENDENT stdlib ``wave`` implementation.  Scalar projections
+    only (rows-only canonicalization requires pandas-sortable columns —
+    the round-1 media_features lesson)."""
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_media_features(MM.synthetic_real_media(spark, 60, seed=5))
+    return feats.select(
+        "media_id", "kind", "decoder", "n_bytes", "sha1",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "features",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("feature_norm"),
+    )
+
+
+KG_REGISTRY["media_real_features"] = QuerySpec(
+    spark=_media_real_features_spark, oracle=None
+)
+
+
 def _url_canonical_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier URL canonicalization + dedup: tracking params,
     fragments, www prefixes, case-variant hosts and trailing slashes all
