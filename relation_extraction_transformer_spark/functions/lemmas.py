@@ -12,10 +12,15 @@ python-re syntax and compiled to both dialects:
   ``{,n}`` -> ``{0,n}``) — fully JVM-side
 - oracle: ``re.sub`` in order
 
-spaCy is not installed in this container, so the lemmatizer stage is a
-clearly-marked deterministic stub (lowercase, which is the dominant effect
-of ``tok.lemma_.lower()`` on regular tokens); the real spaCy call slots
-into the same pandas-UDF contract.
+spaCy is not installed in this container; since round 5 the in-container
+engine is a REAL conservative rule lemmatizer (``rule_lemma``: irregular
+verb/noun table + plural/-ing/-ed suffix detachment with doubling-undo
+and bounded e-restoration — morphy-style, but only the rules that stay
+high-precision without the WordNet lexicon or POS tags).  spaCy remains
+the preferred engine when installed and slots into the same pandas-UDF
+contract; each row is labeled with the engine that produced it
+(``spacy`` / ``rules-en``), and exact spaCy parity is NOT claimed — the
+divergences are the documented cost of a dictionary-free engine.
 """
 
 from __future__ import annotations
@@ -119,13 +124,116 @@ def normalize_for_lemmas_py(text: str) -> str:
     return text
 
 
+# ---------------------------------------------------------------------------
+# From-scratch rule lemmatizer (round 5): upgrades the in-container stage
+# from lowercase-only to a real (if deliberately conservative) English
+# lemmatizer.  Morphy-style suffix detachment without the WordNet lexicon:
+# only rules that are high-precision WITHOUT a dictionary or POS tags are
+# applied — irregular verb/noun table, plural -s/-es/-ies, -ing/-ed with
+# consonant-doubling undo and short-stem e-restoration.  Adjective
+# -er/-est is deliberately NOT handled (without POS it corrupts 'other',
+# 'never', 'interest').  spaCy remains the preferred engine when
+# installed; outputs are labeled ('spacy' / 'rules-en' / 'stub-lower').
+# ---------------------------------------------------------------------------
+
+IRREGULAR_LEMMAS: dict[str, str] = {
+    "was": "be", "were": "be", "is": "be", "are": "be", "am": "be",
+    "been": "be", "being": "be",
+    "has": "have", "had": "have", "having": "have",
+    "does": "do", "did": "do", "done": "do", "doing": "do",
+    "goes": "go", "went": "go", "gone": "go", "going": "go",
+    "said": "say", "says": "say", "made": "make", "took": "take",
+    "taken": "take", "came": "come", "saw": "see", "seen": "see",
+    "got": "get", "gotten": "get", "knew": "know", "known": "know",
+    "gave": "give", "given": "give", "found": "find",
+    "thought": "think", "told": "tell", "became": "become",
+    "felt": "feel", "brought": "bring", "began": "begin",
+    "begun": "begin", "kept": "keep", "held": "hold", "wrote": "write",
+    "written": "write", "stood": "stand", "heard": "hear",
+    "meant": "mean", "met": "meet", "ran": "run", "paid": "pay",
+    "sat": "sit", "spoke": "speak", "spoken": "speak", "led": "lead",
+    "grew": "grow", "grown": "grow", "lost": "lose", "fell": "fall",
+    "fallen": "fall", "sent": "send", "built": "build",
+    "understood": "understand", "drew": "draw", "drawn": "draw",
+    "broke": "break", "broken": "break", "spent": "spend",
+    "rose": "rise", "risen": "rise", "drove": "drive",
+    "driven": "drive", "bought": "buy", "wore": "wear", "worn": "wear",
+    "chose": "choose", "chosen": "choose",
+    "men": "man", "women": "woman", "children": "child",
+    "feet": "foot", "teeth": "tooth", "mice": "mouse",
+    "geese": "goose", "knives": "knife", "wives": "wife",
+}
+
+_VOWELS = "aeiou"
+
+
+def _undouble(stem: str) -> str:
+    if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+        return stem[:-1]
+    return stem
+
+
+def _maybe_restore_e(stem: str) -> str:
+    """mak -> make, writ -> write.  Only for stems <= 4 chars: short
+    monosyllabic CVC stems almost always dropped an -e; longer stems
+    (visit-, creat-) more often did not, and a wrong -e is worse than a
+    missing one for a dictionary-free engine."""
+    if (
+        3 <= len(stem) <= 4
+        and stem[-1] in "bcdgkmnprstvz"
+        and stem[-2] in _VOWELS
+        and stem[-3] not in _VOWELS
+    ):
+        return stem + "e"
+    return stem
+
+
+def rule_lemma(token: str) -> str:
+    """Lowercased lemma of one token via the conservative rule engine.
+    Tokens with any non-ascii-letter character pass through lowercased
+    (numbers, urls, the rewrite chain's ``_``-joined compounds)."""
+    w = token.lower()
+    if not w.isascii() or not w.isalpha():
+        return w
+    if w in IRREGULAR_LEMMAS:
+        return IRREGULAR_LEMMAS[w]
+    if w.endswith("ies") and len(w) >= 5:
+        return w[:-3] + "y"
+    if w.endswith("sses"):
+        return w[:-2]
+    if w.endswith(("ches", "shes", "xes", "zes")) and len(w) >= 5:
+        return w[:-2]
+    if (
+        w.endswith("s")
+        and len(w) >= 4
+        and not w.endswith(("ss", "us", "is"))
+    ):
+        # plain -s strip also covers -es after a silent-e stem (ties,
+        # houses, creates); -es after sibilants took the branches above
+        return w[:-1]
+    if w.endswith("ing") and len(w) >= 6:
+        stem = w[:-3]
+        un = _undouble(stem)
+        return un if un != stem else _maybe_restore_e(stem)
+    if w.endswith("ied") and len(w) >= 5:
+        return w[:-3] + "y"
+    if w.endswith("ed") and len(w) >= 5:
+        stem = w[:-2]
+        un = _undouble(stem)
+        if un != stem:
+            return un
+        if stem.endswith(("at", "iv", "ag", "iz", "us")):
+            return stem + "e"  # created, received, managed, realized, housed
+        return _maybe_restore_e(stem)
+    return w
+
+
 def lemmatize_tokens(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """Normalization + lemmatizer over a token-array column.
 
-    Tries spaCy (the reference's lemmatizer); this container has no spaCy,
-    so the STUB lowercases tokens (the dominant effect of
-    ``tok.lemma_.lower()``) — clearly marked in the output column
-    ``lemmatizer`` so downstream can tell which engine produced it.
+    Tries spaCy (the reference's lemmatizer); without it, the real
+    in-container rule engine (:func:`rule_lemma`) lemmatizes — the
+    output column ``lemmatizer`` labels which engine produced each row.
     Preserves token count like the reference's assertion
     (ref:utils/extract_lemmas.py:122): if the rewrite chain changes the
     count, falls back to the original tokens for that row.
@@ -159,8 +267,12 @@ def lemmatize_tokens(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
                     ]
                     engine = "spacy"
                 else:
-                    lem = [t.lower() for t in joined.split(" ") if t != ""]
-                    engine = "stub-lower"
+                    # real in-container engine (round 5): conservative
+                    # rule lemmatizer — irregulars + plural/ing/ed
+                    lem = [
+                        rule_lemma(t) for t in joined.split(" ") if t != ""
+                    ]
+                    engine = "rules-en"
                 if len(lem) != len(toks):
                     lem = toks  # count-preservation fallback
                     engine += "-fallback"

@@ -100,7 +100,7 @@ def test_lemma_normalization_spark_matches_python(spark):
     assert got == want
 
 
-def test_lemmatize_tokens_stub(spark):
+def test_lemmatize_tokens_rule_engine(spark):
     from relation_extraction_transformer_spark.functions import lemmas as L
 
     df = spark.createDataFrame(
@@ -110,7 +110,41 @@ def test_lemmatize_tokens_stub(spark):
     rows = L.lemmatize_tokens(df).collect()
     for r in rows:
         assert len(r.lemmas) == len(r.tokens)  # count preserved or fallback
-        assert r.lemmatizer.startswith("stub-lower")
+        assert r.lemmatizer.startswith(("rules-en", "spacy"))
+
+
+def test_rule_lemma_golden_vectors():
+    """Round 5: the in-container lemmatizer is a real conservative rule
+    engine (irregulars + plural/ing/ed), not lowercase-only.  Golden
+    vectors pin the high-precision core AND the deliberate conservatism
+    (no -er/-est, no dictionary-free guessing on long stems)."""
+    from relation_extraction_transformer_spark.functions.lemmas import (
+        rule_lemma,
+    )
+
+    golden = {
+        # irregulars
+        "was": "be", "Went": "go", "children": "child", "said": "say",
+        "wrote": "write", "mice": "mouse", "knives": "knife",
+        # plurals
+        "cities": "city", "dogs": "dog", "boxes": "box",
+        "churches": "church", "classes": "class", "ties": "tie",
+        "houses": "house",
+        # -ing with doubling / e-restoration
+        "running": "run", "making": "make", "walking": "walk",
+        "writing": "write", "selling": "sell", "playing": "play",
+        "singing": "sing", "coming": "come",
+        # -ed
+        "stopped": "stop", "tried": "try", "loved": "love",
+        "wanted": "want", "created": "create", "realized": "realize",
+        # deliberate conservatism: unchanged without POS/dictionary
+        "other": "other", "never": "never", "interest": "interest",
+        "bus": "bus", "press": "press", "his": "his",
+        # non-alpha passthrough (rewrite-chain compounds, numbers)
+        "u_s_based": "u_s_based", "1990": "1990",
+    }
+    for word, want in golden.items():
+        assert rule_lemma(word) == want, (word, rule_lemma(word), want)
 
 
 def test_lemmatize_count_guard_fires_on_pathological_input(spark):
@@ -132,4 +166,4 @@ def test_lemmatize_count_guard_fires_on_pathological_input(spark):
 
     good = rows[("plain", "words")]
     assert not good.lemmatizer.endswith("-fallback")
-    assert list(good.lemmas) == ["plain", "words"]
+    assert list(good.lemmas) == ["plain", "word"]  # rules-en lemmatizes
