@@ -146,6 +146,11 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if ch is None or payload is None:
         raise ValueError("missing fmt/data chunk")
+    if ch <= 0 or rate <= 0:
+        # 0 channels / 0 rate would ZeroDivide below and in wav_features;
+        # malformed headers must surface as ValueError so operator-level
+        # sniff-and-fallback catches them
+        raise ValueError("malformed fmt chunk (channels/rate)")
     n = len(payload) // (2 * ch)
     samples = np.frombuffer(payload, dtype="<i2", count=n * ch).reshape(n, ch)
     return samples.copy(), int(rate)

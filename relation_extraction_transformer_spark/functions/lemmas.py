@@ -133,7 +133,7 @@ def normalize_for_lemmas_py(text: str) -> str:
 # consonant-doubling undo and short-stem e-restoration.  Adjective
 # -er/-est is deliberately NOT handled (without POS it corrupts 'other',
 # 'never', 'interest').  spaCy remains the preferred engine when
-# installed; outputs are labeled ('spacy' / 'rules-en' / 'stub-lower').
+# installed; outputs are labeled ('spacy' / 'rules-en').
 # ---------------------------------------------------------------------------
 
 IRREGULAR_LEMMAS: dict[str, str] = {
@@ -165,6 +165,19 @@ IRREGULAR_LEMMAS: dict[str, str] = {
 }
 
 _VOWELS = "aeiou"
+
+# -ing words that are NOT gerunds (or whose gerund reading is not the
+# dominant one): stripping would corrupt top-frequency English words
+# (review r5: 'during'->'dure', 'nothing'->'noth', 'string'->'str')
+NON_GERUND_ING = frozenset(
+    {
+        "during", "nothing", "something", "anything", "everything",
+        "morning", "evening", "spring", "string", "sterling",
+        "sibling", "darling", "ceiling", "herring", "pudding",
+        "shilling", "duckling", "dumpling", "gosling", "inkling",
+        "offspring", "upbringing", "lightning", "cunning", "awning",
+    }
+)
 
 
 def _undouble(stem: str) -> str:
@@ -211,7 +224,7 @@ def rule_lemma(token: str) -> str:
         # plain -s strip also covers -es after a silent-e stem (ties,
         # houses, creates); -es after sibilants took the branches above
         return w[:-1]
-    if w.endswith("ing") and len(w) >= 6:
+    if w.endswith("ing") and len(w) >= 6 and w not in NON_GERUND_ING:
         stem = w[:-3]
         un = _undouble(stem)
         return un if un != stem else _maybe_restore_e(stem)
@@ -222,8 +235,9 @@ def rule_lemma(token: str) -> str:
         un = _undouble(stem)
         if un != stem:
             return un
-        if stem.endswith(("at", "iv", "ag", "iz", "us")):
-            return stem + "e"  # created, received, managed, realized, housed
+        # NB no "us" here: 'focused' must not become 'focuse' (review r5)
+        if stem.endswith(("at", "iv", "ag", "iz")):
+            return stem + "e"  # created, received, managed, realized
         return _maybe_restore_e(stem)
     return w
 

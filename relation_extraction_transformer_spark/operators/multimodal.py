@@ -248,23 +248,34 @@ def resize_images(
                 if kind != "image":
                     continue
                 w, h = int(w), int(h)
-                scale = min(1.0, max_side / max(w, h, 1))
-                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
                 payload = bytes(raw)
                 if payload[:2] == b"BM":
                     # REAL path: from-scratch BMP nearest-neighbor resize
-                    # (functions/codecs.py) — numpy only, no codec libs
+                    # (functions/codecs.py) — numpy only, no codec libs.
+                    # Geometry comes from the DECODED pixels, not the
+                    # metadata columns: nothing validates width/height
+                    # against the payload, and trusting stale metadata
+                    # would silently up-scale a small image (review r5)
                     try:
                         from ..functions import codecs as CD
 
-                        payload = CD.bmp_resize_nearest(payload, tw, th)
-                        resizer = "bmp-numpy-nn"
+                        px = CD.bmp_decode(payload)
+                        h0, w0 = px.shape[0], px.shape[1]
+                        scale = min(1.0, max_side / max(w0, h0, 1))
+                        tw = max(1, int(w0 * scale))
+                        th = max(1, int(h0 * scale))
+                        yi = (np.arange(th) * h0 // th).clip(0, h0 - 1)
+                        xi = (np.arange(tw) * w0 // tw).clip(0, w0 - 1)
+                        payload = CD.bmp_encode(px[yi][:, xi])
                         out_rows.append(
-                            (int(media_id), kind, payload, tw, th, resizer)
+                            (int(media_id), kind, payload, tw, th,
+                             "bmp-numpy-nn")
                         )
                         continue
-                    except (ValueError, struct_error):
+                    except (ValueError, IndexError, struct_error):
                         pass  # malformed BMP -> stub fallback below
+                scale = min(1.0, max_side / max(w, h, 1))
+                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
                 try:
                     import io
 
@@ -318,6 +329,10 @@ def sample_frames(
                         from ..functions import codecs as CD
 
                         nf, frame_ms, spans = CD.mbmp_index(payload)
+                        if nf == 0:
+                            continue  # valid but frameless: emit nothing
+                        if frame_ms <= 0:
+                            raise ValueError("non-positive frame interval")
                         total_ms = nf * frame_ms
                         n = min(max_frames, max(1, total_ms // every_ms))
                         for i in range(n):
@@ -329,7 +344,7 @@ def sample_frames(
                                  payload[off : off + ln], "mbmp")
                             )
                         continue
-                    except (ValueError, struct_error):
+                    except (ValueError, IndexError, struct_error):
                         pass  # malformed container -> stub fallback
                 n = min(max_frames, max(1, int(dur) // every_ms))
                 for i in range(n):

@@ -2901,17 +2901,27 @@ def _spark_dup_clusters(spark, sf):
 
 
 def _dup_clusters_oracle() -> str:
+    # each unrolled round = one neighbor-min propagation THEN one label
+    # shortcut (component := component's component) — the same per-round
+    # structure as the Spark side, so reach roughly DOUBLES per round:
+    # _CC_ROUNDS=6 shortcutting rounds converge for any component whose
+    # min-id node is within ~2^6 hops of every member (plain propagation
+    # alone covered only diameter 6 — review r5)
     rounds = ""
     prev = "l0"
     for k in range(1, _CC_ROUNDS + 1):
         rounds += f""",
-    l{k} AS MATERIALIZED (
+    p{k} AS MATERIALIZED (
       SELECT node_id, MIN(component) AS component FROM (
         SELECT node_id, component FROM {prev}
         UNION ALL
         SELECT s.dst AS node_id, l.component
         FROM sym s JOIN {prev} l ON l.node_id = s.src
       ) GROUP BY node_id
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT a.node_id, COALESCE(b.component, a.component) AS component
+      FROM p{k} a LEFT JOIN p{k} b ON b.node_id = a.component
     )"""
         prev = f"l{k}"
     return f"""

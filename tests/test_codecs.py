@@ -185,3 +185,41 @@ def test_legacy_fake_payloads_still_take_stub_path(spark):
     media = MM.synthetic_media(spark, 12, seed=3)
     rows = MM.extract_media_features(media).collect()
     assert {r.decoder for r in rows} == {"stub-histogram"}
+
+
+def test_malformed_real_format_payloads_fall_back_not_crash(spark):
+    """Review r5: a payload that SNIFFS as a real format but is malformed
+    (0-channel WAV, zero-interval or frameless MBMP, truncated BMP) must
+    take the labeled stub path — never kill the Spark job."""
+    bad_wav = CD.wav_encode(np.zeros((4, 1), "int16"), 8000)
+    bad_wav = bad_wav[:22] + struct.pack("<H", 0) + bad_wav[24:]  # ch=0
+    rows = [
+        (1, "audio", bad_wav, "audio/wav", 0, 0, 100),
+        (2, "video", CD.mbmp_encode([], 250), "video/x-mbmp", 0, 0, 1000),
+        (3, "video", CD.mbmp_encode([b"f"], 0), "video/x-mbmp", 0, 0, 1000),
+        (4, "image", b"BM" + b"\x01" * 80, "image/bmp", 9, 9, 0),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    decoders = {
+        r.media_id: r.decoder
+        for r in MM.extract_media_features(df).collect()
+    }
+    assert set(decoders.values()) == {"stub-histogram"}, decoders
+    frames = MM.sample_frames(df, every_ms=250).collect()
+    assert all(r.sampler == "stub-slice" for r in frames if r.media_id == 3)
+    assert not [r for r in frames if r.media_id == 2]  # frameless: empty
+    resized = MM.resize_images(df, max_side=8).collect()
+    assert all(r.resizer == "stub-passthrough" for r in resized)
+
+
+def test_resize_geometry_comes_from_decoded_pixels_not_metadata(spark):
+    """Review r5: stale metadata (512x512 claimed, 16x16 actual) must not
+    up-scale the payload — the decoded dimensions drive the target."""
+    px = np.random.default_rng(3).integers(0, 256, (16, 16, 3), np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", CD.bmp_encode(px), "image/bmp", 512, 512, 0)],
+        MM.MEDIA_SCHEMA,
+    )
+    [r] = MM.resize_images(df, max_side=256).collect()
+    assert (r.width, r.height) == (16, 16)  # clamp is a no-op, no upscale
+    assert np.array_equal(CD.bmp_decode(bytes(r.payload)), px)

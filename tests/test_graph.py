@@ -386,3 +386,28 @@ def test_dup_clusters_matches_independent_union_find(spark):
         want = find(doc_id) if doc_id in parent else doc_id
         assert cluster_id == want, (doc_id, cluster_id, want)
         assert keep == (cluster_id == doc_id)
+
+
+def test_dup_clusters_oracle_round_scheme_converges_on_long_chains():
+    """Review r5: the DuckDB oracle unrolls propagate+shortcut rounds; a
+    plain-propagation unroll only covered diameter == rounds.  Simulate
+    the exact per-round semantics of the generated SQL on a 50-node path
+    (the worst case for min-label spread) and require full convergence
+    within _CC_ROUNDS — the shortcut must give super-linear reach."""
+    from relation_extraction_transformer_spark.plans.sql_queries import (
+        _CC_ROUNDS,
+    )
+
+    n = 50
+    sym = [(i, i + 1) for i in range(n - 1)] + [
+        (i + 1, i) for i in range(n - 1)
+    ]
+    labels = {i: i for i in range(n)}
+    for _ in range(_CC_ROUNDS):
+        prop = dict(labels)
+        for src, dst in sym:  # neighbor-min propagation (p_k)
+            prop[dst] = min(prop[dst], labels[src])
+        labels = {  # label shortcut (l_k)
+            node: prop.get(comp, comp) for node, comp in prop.items()
+        }
+    assert set(labels.values()) == {0}, sorted(set(labels.values()))

@@ -140,6 +140,10 @@ def test_rule_lemma_golden_vectors():
         # deliberate conservatism: unchanged without POS/dictionary
         "other": "other", "never": "never", "interest": "interest",
         "bus": "bus", "press": "press", "his": "his",
+        # review r5: non-gerund -ing words and -us stems must survive
+        "during": "during", "nothing": "nothing", "string": "string",
+        "morning": "morning", "anything": "anything",
+        "spring": "spring", "focused": "focus",
         # non-alpha passthrough (rewrite-chain compounds, numbers)
         "u_s_based": "u_s_based", "1990": "1990",
     }
