@@ -2762,10 +2762,14 @@ def _spark_semdedup(spark, sf):
         "vec_id", "v", "cell", _spark_cos("v", "cv").alias("csim")
     ).filter(F.col("csim").isNotNull())
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    # assign feeds BOTH sides of the pairwise self-join AND the final
+    # projection: materialize it once (corpus-row-sized, no cache entry)
+    # or the centroid-assignment subtree executes three times
     assign = (
         sims.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") == 1)
         .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=True)
     )
     pairs = (
         assign.alias("a")

@@ -185,3 +185,34 @@ def test_boilerplate_lines_broadcasts_the_boilerplate_set(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_pairwise_stage_is_cell_keyed_not_all_pairs(spark):
+    """SemDeDup's scale claim is that clustering bounds the quadratic
+    term: the pairwise stage must be an EQUI-join on the cell key.  The
+    only permitted nested-loop is the deliberate 4-row broadcast
+    centroid crossJoin of the assignment stage."""
+    from relation_extraction_transformer_spark.plans import sql_queries as Q
+
+    df = Q.REGISTRY["semdedup_drops"].spark(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        "only the bounded centroid crossJoin may be nested-loop"
+    )
+    assert "cell" in plan
+
+
+def test_dup_clusters_plan_depth_is_bounded(spark):
+    """The components loop localCheckpoints per round, so the final plan
+    must be shallow (a scan of checkpointed labels joined to documents)
+    — not an exponentially grown join tree."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dup_clusters"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("ExistingRDD") >= 1, "labels must be checkpointed"
+    assert len(plan.splitlines()) < 60, (
+        f"plan unexpectedly deep ({len(plan.splitlines())} lines) — "
+        "did the per-round localCheckpoint disappear?"
+    )
