@@ -77,13 +77,20 @@ def bmp_decode(data: bytes) -> np.ndarray:
     return (rgb[::-1] if flip else rgb).copy()
 
 
-def bmp_resize_nearest(data: bytes, tw: int, th: int) -> bytes:
-    """Real aspect-free nearest-neighbor resize: decode, index, encode."""
-    px = bmp_decode(data)
-    h, w, _ = px.shape
+def resize_nearest_pixels(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor index math on DECODED (H, W, 3) pixels — the one
+    implementation serving both :func:`bmp_resize_nearest` and the
+    multimodal ``resize_images`` operator (ADVICE r5: two inline copies
+    of the same indexing logic can drift)."""
+    h, w = px.shape[0], px.shape[1]
     yi = (np.arange(th) * h // th).clip(0, h - 1)
     xi = (np.arange(tw) * w // tw).clip(0, w - 1)
-    return bmp_encode(px[yi][:, xi])
+    return px[yi][:, xi]
+
+
+def bmp_resize_nearest(data: bytes, tw: int, th: int) -> bytes:
+    """Real aspect-free nearest-neighbor resize: decode, index, encode."""
+    return bmp_encode(resize_nearest_pixels(bmp_decode(data), tw, th))
 
 
 def bmp_features(pixels: np.ndarray, dim: int = 16) -> list[float]:
@@ -162,13 +169,15 @@ def wav_features(samples: np.ndarray, rate: int, dim: int = 16) -> list[float]:
     mono = np.asarray(samples, dtype=np.float64)
     if mono.ndim == 2:
         mono = mono.mean(axis=1)
-    n = max(len(mono), 1)
     rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
     zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
     peak = float(np.max(np.abs(mono))) if len(mono) else 0.0
-    dur = n / float(rate)
+    # rate is validated > 0 by wav_decode; empty audio reports 0.0, not
+    # 1/rate (ADVICE r5 — the max(n,1) guard was feeding the duration)
+    dur = len(mono) / float(rate)
     n_bands = dim - 4
-    spec = np.abs(np.fft.rfft(mono))
+    # rfft rejects 0 data points — empty audio has an empty spectrum
+    spec = np.abs(np.fft.rfft(mono)) if len(mono) else np.zeros(0)
     if len(spec) >= n_bands:
         bands = np.array_split(spec, n_bands)
         energies = [float(np.log1p(b.sum())) for b in bands]

@@ -264,9 +264,9 @@ def resize_images(
                         scale = min(1.0, max_side / max(w0, h0, 1))
                         tw = max(1, int(w0 * scale))
                         th = max(1, int(h0 * scale))
-                        yi = (np.arange(th) * h0 // th).clip(0, h0 - 1)
-                        xi = (np.arange(tw) * w0 // tw).clip(0, w0 - 1)
-                        payload = CD.bmp_encode(px[yi][:, xi])
+                        payload = CD.bmp_encode(
+                            CD.resize_nearest_pixels(px, tw, th)
+                        )
                         out_rows.append(
                             (int(media_id), kind, payload, tw, th,
                              "bmp-numpy-nn")

@@ -2944,11 +2944,26 @@ def _dup_clusters_oracle() -> str:
       SELECT node_id, node_id AS component FROM (
         SELECT DISTINCT src AS node_id FROM sym
       )
-    ){rounds}
+    ){rounds},
+    conv AS (
+      -- convergence guard (ADVICE r5): if the last two rounds still
+      -- differ, the {_CC_ROUNDS}-round unroll did not reach fixpoint
+      -- (a component whose min-id node is >~2^{_CC_ROUNDS} hops from a
+      -- member) and the oracle would silently diverge from Spark's
+      -- fixpoint loop — fail LOUDLY instead
+      SELECT CASE WHEN (
+        SELECT count(*) FROM l{_CC_ROUNDS} a
+        JOIN l{_CC_ROUNDS - 1} b ON b.node_id = a.node_id
+        WHERE a.component <> b.component
+      ) = 0 THEN 1
+      ELSE error('dup_clusters oracle: min-label propagation not '
+                 'converged after {_CC_ROUNDS} rounds') END AS ok
+    )
     SELECT d.doc_id,
            COALESCE(l.component, d.doc_id) AS cluster_id,
            (COALESCE(l.component, d.doc_id) = d.doc_id) AS keep
     FROM documents d LEFT JOIN {prev} l ON l.node_id = d.doc_id
+    WHERE (SELECT ok FROM conv) = 1
     """
 
 

@@ -12,67 +12,108 @@ deployment would use a TTL sized to the recrawl horizon).
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Callable, Iterable, Iterator, Tuple
 
 import pandas as pd
 
+from pyspark.errors import PySparkRuntimeError
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "url string, warc_ts timestamp, lang string, text string"
-STATE_SCHEMA = "seen array<long>"
+# ``ver`` is a deliberate STATE-SCHEMA BREAK vs the round-5 v2 layout
+# (bare ``array<long>``): Structured Streaming rejects a checkpoint whose
+# state schema does not match the operator's, so a pre-v3 checkpoint now
+# fails LOUDLY at restart instead of silently re-emitting every
+# previously-seen url while pinning unmatchable hashes in state forever
+# (ADVICE r5).  The in-band ``ver`` value additionally guards any future
+# same-schema semantic change.
+STATE_SCHEMA = "ver int, seen array<long>"
+STATE_FORMAT_VERSION = 3
 
 N_SHARDS = 32
 
 
-def _dedup_fn(
-    key: Tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Python side is set-membership only: the url hash arrives as the
-    JVM-computed ``url_h`` column (xxhash64, whole-stage codegen), so no
-    per-row Python hashing happens in the hot path."""
-    seen = set(state.get[0]) if state.exists else set()
-    for pdf in pdfs:
-        h = pdf["url_h"]
-        fresh = ~h.isin(seen) & ~h.duplicated()
-        seen.update(h[fresh])
-        out = pdf.loc[fresh, ["url", "warc_ts", "lang", "text"]]
-        if len(out):
-            yield out
-    state.update((list(seen),))
+def _make_dedup_fn(
+    ttl_ms: int | None,
+) -> Callable[..., Iterator[pd.DataFrame]]:
+    """Build the per-shard dedup function.  ``ttl_ms`` is the recrawl
+    horizon: with a ProcessingTimeTimeout configured, a shard whose urls
+    all go unseen for ``ttl_ms`` evicts its state entirely (a
+    re-delivered url afterwards re-emits exactly once — by design: past
+    the recrawl horizon the page content is considered fresh).  ``None``
+    = NoTimeout mode (availableNow catch-up runs)."""
+
+    def _dedup_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Python side is set-membership only: the url hash arrives as the
+        JVM-computed ``url_h`` column (xxhash64, whole-stage codegen), so
+        no per-row Python hashing happens in the hot path."""
+        if state.hasTimedOut:
+            # shard idle past the recrawl horizon: drop its seen-set
+            state.remove()
+            return
+        if state.exists:
+            ver, hashes = state.get
+            if ver != STATE_FORMAT_VERSION:
+                raise ValueError(
+                    f"dedup state format {ver} != "
+                    f"{STATE_FORMAT_VERSION}; restart from a fresh "
+                    "checkpoint directory"
+                )
+            seen = set(hashes)
+        else:
+            seen = set()
+        for pdf in pdfs:
+            h = pdf["url_h"]
+            fresh = ~h.isin(seen) & ~h.duplicated()
+            seen.update(h[fresh])
+            out = pdf.loc[fresh, ["url", "warc_ts", "lang", "text"]]
+            if len(out):
+                yield out
+        state.update((STATE_FORMAT_VERSION, list(seen)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _dedup_fn
 
 
-def dedup_pages_stream(pages_stream: DataFrame) -> DataFrame:
+# module-level NoTimeout instance (importable for unit tests, and keeps
+# the serialized closure stable across runs)
+_dedup_fn = _make_dedup_fn(None)
+
+
+def dedup_pages_stream(
+    pages_stream: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming pages -> first-seen-only pages (exactly-once per url per
     state lifetime).  ``url_h = xxhash64(url)`` is computed once JVM-side
     and reused for both the state shard key and the dedup membership key
     (same hash → a url always lands on the shard that owns its state).
 
-    STATE FORMAT v2 (round 5): the membership hash changed from
-    driver-side blake2b to xxhash64.  A checkpoint written by the v1
-    operator holds hashes the v2 stream can never match — every seen url
-    would re-emit once and the stale entries would pin state forever.
-    Restarting an existing deployment across this change requires a
-    fresh checkpoint directory (the standard Structured Streaming rule
-    for stateful-logic changes); new deployments are unaffected."""
+    ``ttl_ms=None`` (default) runs NoTimeout: a ProcessingTimeTimeout
+    keeps availableNow batch-catchup runs alive forever (timeouts keep
+    scheduling empty micro-batches).  A real 24/7 deployment passes
+    ``ttl_ms`` sized to the recrawl horizon so shard state is bounded:
+    idle shards evict, and a url re-delivered after eviction re-emits
+    exactly once (fresh-content semantics past the horizon)."""
     sharded = pages_stream.withColumn(
         "url_h", F.xxhash64("url")
     ).withColumn(
         "shard", F.pmod(F.col("url_h"), F.lit(N_SHARDS)).cast("int")
     )
     return sharded.groupBy("shard").applyInPandasWithState(
-        _dedup_fn,
+        _dedup_fn if ttl_ms is None else _make_dedup_fn(ttl_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        # NoTimeout: a ProcessingTimeTimeout keeps availableNow batch-
-        # catchup runs alive forever (timeouts keep scheduling empty
-        # micro-batches).  A real 24/7 deployment bounds state with a
-        # ProcessingTimeTimeout sized to the recrawl horizon instead.
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
@@ -124,8 +165,8 @@ def _session_fn(
             state.update((start, last, n))
             try:
                 state.setTimeoutDuration(SESSION_GAP_MS)
-            except Exception:
-                pass
+            except PySparkRuntimeError:
+                pass  # NoTimeout mode (availableNow catch-up runs)
         return
     ts = pd.concat(ts_all).sort_values()
     # Late events BELOW the open session merge backward only while they
@@ -177,8 +218,11 @@ def _session_fn(
             out.append((user, lstart, llast, ln, True))
     state.update((start, last, n))
     try:
+        # the specific error Spark raises when the query was configured
+        # with NoTimeout — a genuine state-API failure still surfaces
+        # (ADVICE r5: the bare except swallowed both)
         state.setTimeoutDuration(SESSION_GAP_MS)
-    except Exception:
+    except PySparkRuntimeError:
         pass  # NoTimeout mode (availableNow catch-up runs)
     if out:
         yield pd.DataFrame(

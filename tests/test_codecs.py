@@ -223,3 +223,29 @@ def test_resize_geometry_comes_from_decoded_pixels_not_metadata(spark):
     [r] = MM.resize_images(df, max_side=256).collect()
     assert (r.width, r.height) == (16, 16)  # clamp is a no-op, no upscale
     assert np.array_equal(CD.bmp_decode(bytes(r.payload)), px)
+
+
+def test_wav_features_zero_sample_duration_is_zero():
+    """ADVICE r5: empty audio must report duration 0.0, not 1/rate (the
+    old max(n, 1) guard fed the duration, not just the divide)."""
+    feats = CD.wav_features(np.zeros((0, 1), dtype=np.int16), 16000)
+    rms, zcr, peak, dur = feats[:4]
+    assert (rms, zcr, peak, dur) == (0.0, 0.0, 0.0, 0.0)
+    # and a round-trip through the codec agrees
+    samples, rate = CD.wav_decode(CD.wav_encode(np.zeros(0, np.int16)))
+    assert CD.wav_features(samples, rate)[3] == 0.0
+
+
+def test_resize_nearest_pixels_shared_by_codec_and_operator():
+    """ADVICE r5: one indexing implementation serves both
+    bmp_resize_nearest and resize_images — check it directly."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    out = CD.resize_nearest_pixels(px, 3, 5)
+    assert out.shape == (5, 3, 3)
+    yi = (np.arange(5) * 10 // 5).clip(0, 9)
+    xi = (np.arange(3) * 7 // 3).clip(0, 6)
+    assert np.array_equal(out, px[yi][:, xi])
+    assert np.array_equal(
+        CD.bmp_decode(CD.bmp_resize_nearest(CD.bmp_encode(px), 3, 5)), out
+    )

