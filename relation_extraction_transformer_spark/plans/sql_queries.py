@@ -2744,71 +2744,30 @@ def _spark_semdedup(spark, sf):
     proving the drop path on non-empty output: each planted copy must
     cluster with and be dropped against exactly its source.
     """
+    from ..operators import semdedup as SEM
+
     emb = t(spark, sf, "embeddings")
     planted = emb.select("vec_id", "embedding").unionAll(
         emb.filter(F.col("vec_id") % 50 == 0).select(
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
         )
     )
-    # quantized vectors reused by assignment AND the pairwise stage:
-    # materialize once, no cache entry left behind (battery hygiene)
+    # quantized vectors materialized once (battery hygiene: no cache
+    # entry left behind); the library operator re-reads them for the
+    # centroid take, the assignment pass and the final projection
     q = planted.select(
         "vec_id", _spark_quantize(F.col("embedding")).alias("v")
     ).localCheckpoint(eager=True)
-    cent = q.filter(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    # delegation to the scale-true library operator (round 6): the
+    # FIXTURE pins n_cells=4 purely for cross-engine oracle determinism
+    # — production callers omit n_cells (cells ∝ corpus size) and set
+    # cell_cap so no cell is ever locally quadratic
+    out = SEM.semdedup(
+        q, "vec_id", "v",
+        threshold=_SEMDEDUP_T, n_cells=_IVF_CELLS, sim_round=9,
     )
-    sims = q.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "cell", _spark_cos("v", "cv").alias("csim")
-    ).filter(F.col("csim").isNotNull())
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
-    # assign feeds BOTH sides of the pairwise self-join AND the final
-    # projection: materialize it once (corpus-row-sized, no cache entry)
-    # or the centroid-assignment subtree executes three times
-    assign = (
-        sims.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "v", "cell")
-        .localCheckpoint(eager=True)
-    )
-    pairs = (
-        assign.alias("a")
-        .join(
-            assign.alias("b"),
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            _spark_int_dot(F.col("a.v"), F.col("b.v")).alias("dot"),
-            _spark_int_dot(F.col("a.v"), F.col("a.v")).alias("aa"),
-            _spark_int_dot(F.col("b.v"), F.col("b.v")).alias("bb"),
-        )
-        .filter(
-            (F.col("aa") > 0)
-            & (F.col("bb") > 0)
-            & (
-                F.col("dot").cast("double")
-                / (
-                    F.sqrt(F.col("aa").cast("double"))
-                    * F.sqrt(F.col("bb").cast("double"))
-                )
-                >= _SEMDEDUP_T
-            )
-        )
-        .select("vec_id")
-        .distinct()
-        .withColumn("dropped", F.lit(True))
-    )
-    return (
-        planted.select("vec_id")
-        .join(assign.select("vec_id", "cell"), "vec_id", "left")
-        .join(pairs, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce("dropped", F.lit(False)).alias("dropped"),
-        )
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "dropped"
     )
 
 
