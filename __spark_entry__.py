@@ -130,10 +130,12 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "cube_event_stats",
     "set_ops_customers",
     "price_quantiles",
-    # round-5 additions: registered after the rotation, deferred so they
-    # cannot displace a recorded battery row (pytest-gated like the rest)
-    "semdedup_drops",
-    "dup_clusters",
+    # round-6 rotation (VERDICT r5 ask #2): token_stats and
+    # quality_scores have driver greens r2-r5 (four rounds stable), so
+    # they yield their slots to the round-5 additions semdedup_drops and
+    # dup_clusters, which get their first driver record this round
+    "token_stats",
+    "quality_scores",
 )
 _DRIVER_CAP = 50
 

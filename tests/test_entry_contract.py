@@ -87,15 +87,15 @@ def test_rows_only_queries_run(spark, name):
         pdf.sort_values(by=list(pdf.columns))
 
 
-# the exact 50-query battery the driver records — round-5 rotation:
-# the 15 three-rounds-stable TPC-H/positions/window rows are deferred
-# past the cap and the 15 round-3/4 additions are promoted so every
-# component earns a driver-record green (VERDICT r4 ask #1).  Pinned so
+# the exact 50-query battery the driver records — round-6 rotation:
+# token_stats and quality_scores (driver-green r2-r5) yield their slots
+# to the round-5 additions semdedup_drops and dup_clusters so both earn
+# their first driver-record green (VERDICT r5 ask #2).  Pinned so
 # a future register() call that forgets _DEFERRED_PAST_DRIVER_CAP
 # cannot silently displace a driver-green row (all slots would still be
 # oracle-paired, so a weaker "all paired" check would not catch it).
-_BATTERY_R5 = (
-    "vocab_ranked", "token_stats", "quality_scores",
+_BATTERY_R6 = (
+    "vocab_ranked", "semdedup_drops", "dup_clusters",
     "repetition_scores", "corpus_filter_decisions", "stratified_sample",
     "pack_segments", "bpe_merge_candidates", "lang_guess",
     "doc_fingerprints", "dedup_exact", "minhash_bands",
@@ -124,9 +124,9 @@ def test_driver_battery_first_50_all_oracle_paired():
     battery = names[: entry._DRIVER_CAP]
     unpaired = [n for n in battery if n not in ORACLES]
     assert not unpaired, f"driver slots wasted on rows-only: {unpaired}"
-    assert sorted(battery) == sorted(_BATTERY_R5), (
-        f"driver battery drifted: +{set(battery) - set(_BATTERY_R5)} "
-        f"-{set(_BATTERY_R5) - set(battery)}"
+    assert sorted(battery) == sorted(_BATTERY_R6), (
+        f"driver battery drifted: +{set(battery) - set(_BATTERY_R6)} "
+        f"-{set(_BATTERY_R6) - set(battery)}"
     )
     # deferred queries must still be registered + paired (pytest-gated)
     for n in entry._DEFERRED_PAST_DRIVER_CAP:
