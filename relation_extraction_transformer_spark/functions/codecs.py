@@ -1,5 +1,5 @@
-"""From-scratch media codecs: BMP (image), RIFF/WAV PCM16 (audio), and a
-length-prefixed motion-BMP container (video frames).
+"""From-scratch media codecs: BMP + PNG (image), RIFF/WAV PCM16 (audio),
+and a length-prefixed motion-BMP container (video frames).
 
 Round 5 closes the "codec stubs, env-bound" gap for every format that
 needs NO external library: uncompressed 24-bit BMP and PCM WAV are fully
@@ -23,6 +23,7 @@ Independence of the test gates (tests/test_codecs.py):
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -102,6 +103,202 @@ def bmp_features(pixels: np.ndarray, dim: int = 16) -> list[float]:
     luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
     hist, _ = np.histogram(luma, bins=dim - 6, range=(0.0, 256.0))
     return mean + std + (hist / max(luma.size, 1)).astype(float).tolist()
+
+
+# ---------------------------------------------------------------------------
+# PNG — from-scratch decode/encode: stdlib zlib + the five scanline
+# filters (None/Sub/Up/Average/Paeth).  The web's most common lossless
+# image format, and the one compressed format decodable here with zero
+# external dependencies (round-6 mandate; the round-5 BMP/WAV pattern).
+# Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
+# no interlace — the canonical truecolor forms.  Palette (3) and 16-bit
+# variants raise ValueError and fall back to the stub path upstream.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a channel slice."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.int32)
+
+
+def _png_filter_row(
+    ft: int, row: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """recon row -> filtered bytes for filter type ``ft`` (encoder side:
+    the exact inverse of :func:`_png_unfilter_row`)."""
+    r = row.astype(np.int32)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prior.astype(np.int32)
+    ul = np.zeros_like(r)
+    ul[bpp:] = up[:-bpp]
+    if ft == 0:
+        out = r
+    elif ft == 1:
+        out = r - left
+    elif ft == 2:
+        out = r - up
+    elif ft == 3:
+        out = r - ((left + up) >> 1)
+    elif ft == 4:
+        out = r - _paeth(left, up, ul)
+    else:
+        raise ValueError(f"bad PNG filter type {ft}")
+    return (out % 256).astype(np.uint8)
+
+
+def _png_unfilter_row(
+    ft: int, line: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """filtered bytes -> recon row.  Sub/Average/Paeth depend on the
+    already-reconstructed left neighbor, so they walk the row in
+    ``bpp``-wide steps (channel slices stay vectorized)."""
+    f = line.astype(np.int32)
+    up = prior.astype(np.int32)
+    n = len(f)
+    if ft == 0:
+        return line.astype(np.uint8)
+    if ft == 2:
+        return ((f + up) % 256).astype(np.uint8)
+    # out must hold REDUCED (mod-256) bytes at every step: Average's >>1
+    # and Paeth's magnitude comparisons are not congruence-preserving,
+    # so an unreduced left neighbor would corrupt the rest of the row
+    out = np.zeros(n, dtype=np.int32)
+    if ft == 1:
+        out[:bpp] = f[:bpp]
+        for x in range(bpp, n, bpp):
+            out[x : x + bpp] = (f[x : x + bpp] + out[x - bpp : x]) % 256
+    elif ft == 3:
+        out[:bpp] = (f[:bpp] + (up[:bpp] >> 1)) % 256
+        for x in range(bpp, n, bpp):
+            out[x : x + bpp] = (
+                f[x : x + bpp]
+                + ((out[x - bpp : x] + up[x : x + bpp]) >> 1)
+            ) % 256
+    elif ft == 4:
+        zero = np.zeros(bpp, dtype=np.int32)
+        out[:bpp] = (f[:bpp] + _paeth(zero, up[:bpp], zero)) % 256
+        for x in range(bpp, n, bpp):
+            out[x : x + bpp] = (
+                f[x : x + bpp]
+                + _paeth(
+                    out[x - bpp : x], up[x : x + bpp], up[x - bpp : x]
+                )
+            ) % 256
+    else:
+        raise ValueError(f"bad PNG filter type {ft}")
+    return (out % 256).astype(np.uint8)
+
+
+def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W) or (H, W, C) uint8 (C in {1, 3, 4}) -> PNG bytes, every
+    scanline filtered with ``filter_type`` (0-4; non-zero types exist so
+    tests can exercise every decoder filter path with real payloads)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOR_TYPE:
+        raise ValueError("pixels must be (H, W[, 1|3|4]) uint8")
+    h, w, ch = arr.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 0
+    )
+    flat = arr.reshape(h, w * ch)
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        lines.append(bytes([filter_type]))
+        lines.append(
+            _png_filter_row(filter_type, flat[y], prior, ch).tobytes()
+        )
+        prior = flat[y]
+    idat = zlib.compress(b"".join(lines))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8 (C = 1 gray / 3 RGB / 4 RGBA).
+
+    From-scratch chunk walk with per-chunk CRC verification; inflate via
+    stdlib zlib; all five scanline filters reconstructed.  Raises
+    ValueError on palette/16-bit/interlaced variants (callers sniff and
+    fall back to the stub path)."""
+    if len(data) < len(PNG_MAGIC) + 12 or data[: len(PNG_MAGIC)] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, end = len(PNG_MAGIC), len(data)
+    ihdr = None
+    idats = []
+    while pos + 12 <= end:
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idats.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idats:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ct not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG variant (need 8-bit gray/RGB/RGBA)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if w < 1 or h < 1:
+        raise ValueError("bad dimensions")
+    ch = _PNG_CHANNELS[ct]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idats))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        out[y] = _png_unfilter_row(int(raw[y, 0]), raw[y, 1:], prior, ch)
+        prior = out[y]
+    return out.reshape(h, w, ch)
+
+
+def png_to_rgb(px: np.ndarray) -> np.ndarray:
+    """Decoded PNG pixels -> (H, W, 3) RGB for the shared feature path
+    (gray broadcasts, alpha drops)."""
+    if px.shape[2] == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
 
 
 # ---------------------------------------------------------------------------

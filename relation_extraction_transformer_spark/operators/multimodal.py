@@ -2,15 +2,17 @@
 
 A 100 TB training-data pipeline carries media alongside text.  The Spark
 plumbing here is real and tested — schema contract, Arrow batch shape,
-partition-size control — and, since round 5, so are the codecs for every
-format that needs no external library: 24-bit BMP images, PCM16 WAV
-audio, and MBMP frame containers decode/resize/frame-sample for REAL via
-functions/codecs.py (numpy + struct; gated by tests/test_codecs.py with
-the stdlib ``wave`` module as an independent oracle).  Payloads are
-sniffed by magic bytes; compressed formats (JPEG/PNG/MP3/H.264) still
-try the real library (PIL/soundfile, absent in this container) and fall
-back to a clearly-marked deterministic stub, so the frozen-artifact
-oracle battery over the legacy fake payloads is untouched.
+partition-size control — and so are the codecs for every format that
+needs no external library: 24-bit BMP and 8-bit PNG images (round 6:
+stdlib zlib + all five scanline filters, from scratch), PCM16 WAV audio,
+and MBMP frame containers decode/resize/frame-sample for REAL via
+functions/codecs.py (numpy + struct + zlib; gated by tests/test_codecs.py
+with the stdlib ``wave`` module as an independent WAV oracle and
+hand-built chunk-level golden PNGs).  Payloads are sniffed by magic
+bytes; the remaining compressed formats (JPEG/MP3/H.264) still try the
+real library (PIL/soundfile, absent in this container) and fall back to
+a clearly-marked deterministic stub, so the frozen-artifact oracle
+battery over the legacy fake payloads is untouched.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from __future__ import annotations
 import hashlib
 from struct import error as struct_error
 from typing import Iterator
+from zlib import error as zlib_error
 
 import numpy as np
 import pandas as pd
@@ -84,7 +87,14 @@ def render_real_media(media_id: int, seed: int = 42) -> tuple:
     if kind == "image":
         w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
         px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        payload, mime = CD.bmp_encode(px), "image/bmp"
+        if (int(media_id) // 3) % 2:
+            # every other image is a real PNG (round 6) — scanline
+            # filter cycles so the corpus exercises all five decode
+            # paths (None/Sub/Up/Average/Paeth)
+            payload = CD.png_encode(px, filter_type=int(media_id) % 5)
+            mime = "image/png"
+        else:
+            payload, mime = CD.bmp_encode(px), "image/bmp"
         dur = 0
     elif kind == "audio":
         rate = int(rng.choice([8000, 16000]))
@@ -138,6 +148,9 @@ def _try_real_decode(payload: bytes, dim: int = 16):
     try:
         if payload[:2] == b"BM":
             return CD.bmp_features(CD.bmp_decode(payload), dim), "bmp-numpy"
+        if payload[: len(CD.PNG_MAGIC)] == CD.PNG_MAGIC:
+            px = CD.png_to_rgb(CD.png_decode(payload))
+            return CD.bmp_features(px, dim), "png-numpy"
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, rate = CD.wav_decode(payload)
             return CD.wav_features(samples, rate, dim), "wav-numpy"
@@ -148,7 +161,7 @@ def _try_real_decode(payload: bytes, dim: int = 16):
                 CD.bmp_features(CD.bmp_decode(payload[off : off + ln]), dim),
                 "mbmp-numpy",
             )
-    except (ValueError, IndexError, struct_error):
+    except (ValueError, IndexError, struct_error, zlib_error):
         return None, None
     return None, None
 
@@ -249,31 +262,40 @@ def resize_images(
                     continue
                 w, h = int(w), int(h)
                 payload = bytes(raw)
-                if payload[:2] == b"BM":
-                    # REAL path: from-scratch BMP nearest-neighbor resize
-                    # (functions/codecs.py) — numpy only, no codec libs.
+                from ..functions import codecs as CD
+
+                is_bmp = payload[:2] == b"BM"
+                is_png = payload[: len(CD.PNG_MAGIC)] == CD.PNG_MAGIC
+                if is_bmp or is_png:
+                    # REAL path: from-scratch BMP/PNG nearest-neighbor
+                    # resize (functions/codecs.py) — numpy/zlib only.
                     # Geometry comes from the DECODED pixels, not the
                     # metadata columns: nothing validates width/height
                     # against the payload, and trusting stale metadata
                     # would silently up-scale a small image (review r5)
                     try:
-                        from ..functions import codecs as CD
-
-                        px = CD.bmp_decode(payload)
+                        px = (
+                            CD.bmp_decode(payload)
+                            if is_bmp
+                            else CD.png_decode(payload)
+                        )
                         h0, w0 = px.shape[0], px.shape[1]
                         scale = min(1.0, max_side / max(w0, h0, 1))
                         tw = max(1, int(w0 * scale))
                         th = max(1, int(h0 * scale))
-                        payload = CD.bmp_encode(
-                            CD.resize_nearest_pixels(px, tw, th)
+                        small = CD.resize_nearest_pixels(px, tw, th)
+                        payload, resizer = (
+                            (CD.bmp_encode(small), "bmp-numpy-nn")
+                            if is_bmp
+                            else (CD.png_encode(small), "png-numpy-nn")
                         )
                         out_rows.append(
-                            (int(media_id), kind, payload, tw, th,
-                             "bmp-numpy-nn")
+                            (int(media_id), kind, payload, tw, th, resizer)
                         )
                         continue
-                    except (ValueError, IndexError, struct_error):
-                        pass  # malformed BMP -> stub fallback below
+                    except (ValueError, IndexError, struct_error,
+                            zlib_error):
+                        pass  # malformed image -> stub fallback below
                 scale = min(1.0, max_side / max(w, h, 1))
                 tw, th = max(1, int(w * scale)), max(1, int(h * scale))
                 try:

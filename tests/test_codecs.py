@@ -134,7 +134,9 @@ def test_real_media_features_decode_for_real(spark):
     for mid, r in rows.items():
         by_kind.setdefault(r.kind, []).append(r)
         assert len(r.features) == 16
-    assert {r.decoder for r in by_kind["image"]} == {"bmp-numpy"}
+    assert {r.decoder for r in by_kind["image"]} == {
+        "bmp-numpy", "png-numpy"
+    }
     assert {r.decoder for r in by_kind["audio"]} == {"wav-numpy"}
     assert {r.decoder for r in by_kind["video"]} == {"mbmp-numpy"}
     # driver-side recompute through the INDEPENDENT stdlib wave decoder
@@ -151,11 +153,16 @@ def test_real_media_features_decode_for_real(spark):
 def test_real_media_resize_is_a_real_resize(spark):
     media = MM.synthetic_real_media(spark, 12, seed=7)
     out = {r.media_id: r for r in MM.resize_images(media, max_side=8).collect()}
-    assert out and all(r.resizer == "bmp-numpy-nn" for r in out.values())
+    assert {r.resizer for r in out.values()} == {
+        "bmp-numpy-nn", "png-numpy-nn"
+    }
     for mid, r in out.items():
         _, _, payload, _, w0, h0, _ = MM.render_real_media(mid, 7)
-        px0 = CD.bmp_decode(payload)
-        px1 = CD.bmp_decode(bytes(r.payload))
+        dec = (
+            CD.bmp_decode if r.resizer == "bmp-numpy-nn" else CD.png_decode
+        )
+        px0 = dec(payload)
+        px1 = dec(bytes(r.payload))
         assert px1.shape == (r.height, r.width, 3)
         assert max(r.width, r.height) <= 8
         # nearest-neighbor: every output pixel is an input pixel
@@ -249,3 +256,132 @@ def test_resize_nearest_pixels_shared_by_codec_and_operator():
     assert np.array_equal(
         CD.bmp_decode(CD.bmp_resize_nearest(CD.bmp_encode(px), 3, 5)), out
     )
+
+
+# ---------------------------------------------------------------- PNG ----
+
+def _hand_png(w, h, pixels_rows, color_type=2, bit_depth=8,
+              filters=None, interlace=0):
+    """Build a PNG INDEPENDENTLY of codecs.py: raw chunk assembly with
+    stdlib zlib/struct only (filters = list of per-row filter bytes; the
+    scanlines must already be filtered accordingly by the caller)."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+                       interlace)
+    raw = b"".join(
+        bytes([f]) + bytes(row) for f, row in zip(filters, pixels_rows)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_decode_hand_constructed_golden_all_filters():
+    """Each of the five filter types on a hand-filtered 3x2 RGB image:
+    the expected reconstruction is computed BY HAND per the PNG spec."""
+    # recon rows (w=3, RGB): row0 = (10,20,30)(40,50,60)(70,80,90)
+    #                        row1 = (13,23,33)(43,53,63)(73,83,93)
+    r0 = [10, 20, 30, 40, 50, 60, 70, 80, 90]
+    r1 = [13, 23, 33, 43, 53, 63, 73, 83, 93]
+    want = np.array([r0, r1], dtype=np.uint8).reshape(2, 3, 3)
+
+    # filter 0 (None): scanline == recon
+    png = _hand_png(3, 2, [r0, r1], filters=[0, 0])
+    assert np.array_equal(CD.png_decode(png), want)
+
+    # filter 1 (Sub): filt[x] = recon[x] - recon[x-3]
+    s0 = r0[:3] + [(r0[i] - r0[i - 3]) % 256 for i in range(3, 9)]
+    s1 = r1[:3] + [(r1[i] - r1[i - 3]) % 256 for i in range(3, 9)]
+    png = _hand_png(3, 2, [s0, s1], filters=[1, 1])
+    assert np.array_equal(CD.png_decode(png), want)
+
+    # filter 2 (Up): row0 prior is zeros; row1 filt = r1 - r0
+    u1 = [(r1[i] - r0[i]) % 256 for i in range(9)]
+    png = _hand_png(3, 2, [r0, u1], filters=[0, 2])
+    assert np.array_equal(CD.png_decode(png), want)
+
+    # filter 3 (Average): filt[x] = recon[x] - (left + up)//2
+    a0 = [(r0[i] - (0 + 0) // 2) % 256 for i in range(3)] + [
+        (r0[i] - (r0[i - 3] + 0) // 2) % 256 for i in range(3, 9)
+    ]
+    a1 = [(r1[i] - (0 + r0[i]) // 2) % 256 for i in range(3)] + [
+        (r1[i] - (r1[i - 3] + r0[i]) // 2) % 256 for i in range(3, 9)
+    ]
+    png = _hand_png(3, 2, [a0, a1], filters=[3, 3])
+    assert np.array_equal(CD.png_decode(png), want)
+
+    # filter 4 (Paeth): on row0 predictor = paeth(left, 0, 0) = left
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    p0 = r0[:3] + [(r0[i] - paeth(r0[i - 3], 0, 0)) % 256
+                   for i in range(3, 9)]
+    p1 = [(r1[i] - paeth(0, r0[i], 0)) % 256 for i in range(3)] + [
+        (r1[i] - paeth(r1[i - 3], r0[i], r0[i - 3])) % 256
+        for i in range(3, 9)
+    ]
+    png = _hand_png(3, 2, [p0, p1], filters=[4, 4])
+    assert np.array_equal(CD.png_decode(png), want)
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_round_trip_every_filter_and_color_type(ch, ft):
+    rng = np.random.default_rng(ch * 10 + ft)
+    px = rng.integers(0, 256, (11, 7, ch), dtype=np.uint8)
+    out = CD.png_decode(CD.png_encode(px, filter_type=ft))
+    assert np.array_equal(out, px)
+
+
+def test_png_rejects_malformed():
+    px = np.zeros((4, 4, 3), np.uint8)
+    good = CD.png_encode(px)
+    with pytest.raises(ValueError, match="not a PNG"):
+        CD.png_decode(b"\x89PNX" + good[4:])
+    # flip one IDAT byte -> CRC mismatch must be caught
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        CD.png_decode(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported"):
+        CD.png_decode(_hand_png(1, 1, [[0]], color_type=3, filters=[0]))
+    with pytest.raises(ValueError, match="interlace"):
+        CD.png_decode(_hand_png(1, 1, [[0, 0, 0]], filters=[0],
+                                interlace=1))
+    with pytest.raises(ValueError, match="length mismatch"):
+        CD.png_decode(_hand_png(3, 2, [[0] * 9], filters=[0]))  # 1 of 2 rows
+
+
+def test_png_media_payloads_decode_in_operators(spark):
+    """synthetic_real_media images alternate BMP/PNG; the feature path
+    must agree with a driver-side decode of the same payload."""
+    media = MM.synthetic_real_media(spark, 24, seed=9)
+    rows = {r.media_id: r for r in
+            MM.extract_media_features(media).collect()}
+    png_ids = [mid for mid, r in rows.items() if r.decoder == "png-numpy"]
+    assert png_ids
+    for mid in png_ids:
+        _, _, payload, mime, _, _, _ = MM.render_real_media(mid, 9)
+        assert mime == "image/png"
+        want = CD.bmp_features(CD.png_to_rgb(CD.png_decode(payload)))
+        assert np.allclose(rows[mid].features, want, rtol=1e-6)
+
+
+def test_malformed_png_falls_back_to_stub(spark):
+    good = CD.png_encode(np.zeros((4, 4, 3), np.uint8))
+    bad = bytearray(good)
+    bad[good.index(b"IDAT") + 4] ^= 0xFF  # CRC mismatch
+    df = spark.createDataFrame(
+        [(1, "image", bytes(bad), "image/png", 4, 4, 0)], MM.MEDIA_SCHEMA
+    )
+    [r] = MM.extract_media_features(df).collect()
+    assert r.decoder == "stub-histogram"
+    [rz] = MM.resize_images(df, max_side=2).collect()
+    assert rz.resizer == "stub-passthrough"
