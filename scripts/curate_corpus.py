@@ -3,6 +3,9 @@
 individual operators exist for, as one spark-submit entry.
 
     quality filter  ->  exact dedup  ->  MinHash-LSH near-dedup
+                    (duplicate-cluster resolution via connected
+                    components over verified pairs)
+                    ->  [semantic dedup over embeddings, optional]
                     ->  stratified sample  ->  sequence packing
 
 Each stage is the library operator (same expressions as the oracle-paired
@@ -44,6 +47,10 @@ def curate(
     jaccard: float = 0.1,
     keep_rate_other: float = 0.25,
     bpe_merges: int = 0,
+    embeddings=None,
+    sem_threshold: float = 0.999,
+    sem_cell_size: int = 512,
+    sem_cell_cap: int = 4096,
     persisted_out: list | None = None,
 ):
     """Run the curation funnel over a (doc_id, lang, text) DataFrame.
@@ -52,6 +59,11 @@ def curate(
     output DataFrame (lazy; ``packed`` is the final curated corpus) and
     ``report`` carries the per-stage row counts (computed eagerly — the
     funnel audit trail).
+
+    ``embeddings`` (optional, (doc_id, embedding array) DataFrame) adds
+    a SemDeDup semantic-dedup stage after near-dedup
+    (operators/semdedup.py: cells ∝ corpus size via ``sem_cell_size``,
+    per-cell cap ``sem_cell_cap`` — never locally quadratic).
 
     ``bpe_merges > 0`` additionally learns a BPE merge table of that
     size on the sampled corpus, tokenizes it corpus-wide
@@ -65,7 +77,11 @@ def curate(
 
     from relation_extraction_transformer_spark.functions import minhash as MH
     from relation_extraction_transformer_spark.operators import bpe as BPE
+    from relation_extraction_transformer_spark.operators import (
+        canonicalize as CANON,
+    )
     from relation_extraction_transformer_spark.operators import packing as PK
+    from relation_extraction_transformer_spark.operators import semdedup as SEM
 
     docs = docs.select("doc_id", "lang", "text")
     stages = {"input": docs}
@@ -102,7 +118,13 @@ def curate(
     report["after_exact_dedup"] = kept.count()
 
     # 3. near-dedup: LSH bands -> candidate pairs -> Jaccard verify ->
-    # drop the higher doc_id of each verified pair
+    # duplicate-CLUSTER resolution (r6): connected components over the
+    # verified-pair graph, keep the lowest doc_id per component.  The
+    # old per-pair higher-id drop under-resolves transitive chains —
+    # with verified pairs {a~c, b~c} it dropped only c and shipped the
+    # near-identical a AND b; one keeper per component is the
+    # deterministic answer under any partitioning (the dup_clusters
+    # contract query's semantics).
     bands = MH.minhash_bands(
         kept, "doc_id", hashes=MH.word_shingle_hashes(F.col("text"))
     )
@@ -127,12 +149,31 @@ def curate(
             / (F.size("sa") + F.size("sb") - F.col("inter")),
         )
         .filter(F.col("jac") >= jaccard)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        .select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
     )
-    kept = kept.join(verified, "doc_id", "left_anti")
+    labels = CANON.connected_components(verified)
+    drop = labels.filter(
+        F.col("component") != F.col("node_id")
+    ).select(F.col("node_id").alias("doc_id"))
+    kept = kept.join(drop, "doc_id", "left_anti")
     stages["near_dedup"] = kept
     report["after_near_dedup"] = kept.count()
+
+    # 3b. (optional) semantic dedup: SemDeDup over an embedding column,
+    # one keeper (lowest doc_id) per within-cell near-duplicate group
+    if embeddings is not None:
+        emb = kept.select("doc_id").join(embeddings, "doc_id")
+        sem_drop = SEM.semdedup(
+            emb, "doc_id", "embedding",
+            threshold=sem_threshold,
+            target_cell_size=sem_cell_size,
+            cell_cap=sem_cell_cap,
+        ).filter(F.col("dropped")).select("doc_id")
+        kept = kept.join(sem_drop, "doc_id", "left_anti")
+        stages["semantic_dedup"] = kept
+        report["after_semantic_dedup"] = kept.count()
 
     # 4. deterministic stratified sample (md5 uniform; no rand())
     u = F.conv(
@@ -197,6 +238,9 @@ def main() -> None:
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="if > 0, learn a BPE merge table of this size on "
                          "the sampled corpus and pack by BPE token counts")
+    ap.add_argument("--embeddings", default=None,
+                    help="optional (vec_id|doc_id, embedding) parquet; "
+                         "adds a SemDeDup semantic-dedup stage")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -213,6 +257,12 @@ def main() -> None:
     from relation_extraction_transformer_spark.sources import tables as TB
 
     docs = TB.read_table(spark, args.docs)
+    embeddings = None
+    if args.embeddings:
+        embeddings = TB.read_table(spark, args.embeddings)
+        if "vec_id" in embeddings.columns:
+            embeddings = embeddings.withColumnRenamed("vec_id", "doc_id")
+        embeddings = embeddings.select("doc_id", "embedding")
     persisted: list = []
     stages, report = curate(
         spark,
@@ -221,6 +271,7 @@ def main() -> None:
         jaccard=args.jaccard,
         keep_rate_other=args.keep_rate_other,
         bpe_merges=args.bpe_merges,
+        embeddings=embeddings,
         persisted_out=persisted,
     )
     TB.write_table(stages["packed"], os.path.join(args.out, "curated"))

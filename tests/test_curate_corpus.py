@@ -154,3 +154,34 @@ def test_curate_releases_all_cache_entries(spark):
     assert len(after) <= max(0, len(before) - len(handles)), (
         f"cache entries leaked: {len(before)} before, {len(after)} after"
     )
+
+
+def test_semantic_dedup_stage_drops_planted_embedding_dups(spark):
+    """VERDICT r5 #6: with an embeddings frame supplied, the funnel runs
+    a SemDeDup stage after near-dedup — planted exact-copy embeddings
+    must drop (keeper = lower doc_id), reported as its own funnel row."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    # plant: every 50th doc's embedding overwrites its successor's
+    src = emb.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1).alias("doc_id"), "embedding"
+    )
+    planted = emb.join(src.select("doc_id"), "doc_id", "left_anti") \
+        .unionByName(src)
+    stages, report = curate(spark, docs, embeddings=planted)
+    keys = list(report)
+    assert keys.index("after_semantic_dedup") == \
+        keys.index("after_near_dedup") + 1
+    assert report["after_semantic_dedup"] <= report["after_near_dedup"]
+    near = {r.doc_id for r in stages["near_dedup"].select("doc_id").collect()}
+    sem = {r.doc_id
+           for r in stages["semantic_dedup"].select("doc_id").collect()}
+    want_drops = {
+        k + 1 for k in range(0, 500, 50) if k in near and k + 1 in near
+    }
+    assert want_drops, "fixture must plant at least one surviving pair"
+    assert near - sem == want_drops
+    # downstream stages consume the semantic survivors
+    sampled = {r.doc_id for r in stages["sampled"].select("doc_id").collect()}
+    assert sampled <= sem
