@@ -55,7 +55,46 @@ HEADLINE = [
     "ann_cosine_topk",
     "scorer_per_relation",
     "sessionize_users",
+    # r6: connected-components duplicate-cluster resolution gets
+    # round-over-round walls like the other iterative graph machinery
+    "dup_clusters",
 ]
+
+
+def run_semdedup_bench(spark: SparkSession) -> dict:
+    """Quantify the r6 SemDeDup scale fix on the same quantized corpus:
+    the r5 fixture shape (FIXED 4 cells — within-cell pairwise work is
+    (N/4)^2, quadratic in corpus size) vs the library default
+    (cells ∝ corpus size + a hard per-cell cap).  Already ~4x at sf0.1's
+    2k vectors; the gap widens linearly with the corpus."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_transformer_spark.operators import (
+        semdedup as SEM,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000)
+            .cast("long")
+        ).alias("v"),
+    ).localCheckpoint(eager=True)  # time the operator, not the scan
+
+    def timed(**kw) -> float:
+        t0 = time.perf_counter()
+        SEM.semdedup(emb, "vec_id", "v", **kw).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    fixed = timed(n_cells=4)
+    scaled = timed(target_cell_size=64, cell_cap=256)
+    return {
+        "fixed4_cells_sec": fixed,
+        "scaled_cells_sec": scaled,
+        "speedup": round(fixed / scaled, 2),
+    }
 
 
 def make_spark(cores: int) -> SparkSession:
@@ -474,6 +513,7 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    semdedup = run_semdedup_bench(spark)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")  # pages next
 
     gen_sec = ensure_pages(spark, N_PAGES, PAGES_PATH)  # skew-bench corpus
@@ -513,6 +553,7 @@ def main() -> None:
         "skew": skew,
         "skew_join": skew_join,
         "html_extract": html_extract,
+        "semdedup": semdedup,
     }
 
     # N -> 4N scaling evidence, EVERY run (the north rule's two-cluster-

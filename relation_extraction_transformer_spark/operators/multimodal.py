@@ -2,17 +2,19 @@
 
 A 100 TB training-data pipeline carries media alongside text.  The Spark
 plumbing here is real and tested — schema contract, Arrow batch shape,
-partition-size control — and so are the codecs for every format that
-needs no external library: 24-bit BMP and 8-bit PNG images (round 6:
-stdlib zlib + all five scanline filters, from scratch), PCM16 WAV audio,
-and MBMP frame containers decode/resize/frame-sample for REAL via
-functions/codecs.py (numpy + struct + zlib; gated by tests/test_codecs.py
-with the stdlib ``wave`` module as an independent WAV oracle and
-hand-built chunk-level golden PNGs).  Payloads are sniffed by magic
-bytes; the remaining compressed formats (JPEG/MP3/H.264) still try the
-real library (PIL/soundfile, absent in this container) and fall back to
-a clearly-marked deterministic stub, so the frozen-artifact oracle
-battery over the legacy fake payloads is untouched.
+partition-size control — and so are the codecs for every format a crawl
+actually carries that needs no external library: 24-bit BMP, 8-bit PNG
+(round 6: stdlib zlib + all five scanline filters, from scratch) and
+baseline JPEG (round 6: full T.81 baseline — Huffman entropy decode,
+dequant, IDCT, chroma upsampling — functions/jpeg.py, numpy only),
+PCM16 WAV audio, and MBMP frame containers decode/resize/frame-sample
+for REAL (gated by tests/test_codecs.py + test_jpeg.py with independent
+oracles: the stdlib ``wave`` module for WAV, hand-built chunk-level
+golden PNGs, a naive per-pixel IDCT for JPEG).  Payloads are sniffed by
+magic bytes; the remaining formats (progressive JPEG, MP3, H.264) still
+try the real library (PIL/soundfile, absent in this container) and fall
+back to a clearly-marked deterministic stub, so the frozen-artifact
+oracle battery over the legacy fake payloads is untouched.
 """
 
 from __future__ import annotations
@@ -87,12 +89,23 @@ def render_real_media(media_id: int, seed: int = 42) -> tuple:
     if kind == "image":
         w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
         px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        if (int(media_id) // 3) % 2:
-            # every other image is a real PNG (round 6) — scanline
-            # filter cycles so the corpus exercises all five decode
-            # paths (None/Sub/Up/Average/Paeth)
+        fmt = (int(media_id) // 3) % 3
+        if fmt == 1:
+            # real PNG (round 6) — scanline filter cycles so the corpus
+            # exercises all five decode paths (None/Sub/Up/Avg/Paeth)
             payload = CD.png_encode(px, filter_type=int(media_id) % 5)
             mime = "image/png"
+        elif fmt == 2:
+            # real baseline JPEG (round 6) — alternate 4:4:4 / 4:2:0 so
+            # both chroma layouts decode in the corpus; note the
+            # metadata w/h stay the TRUE pixel dims (lossy content,
+            # exact geometry)
+            from ..functions import jpeg as JP
+
+            payload = JP.jpeg_encode(
+                px, quality=90, subsample=bool(int(media_id) % 2)
+            )
+            mime = "image/jpeg"
         else:
             payload, mime = CD.bmp_encode(px), "image/bmp"
         dur = 0
@@ -151,6 +164,13 @@ def _try_real_decode(payload: bytes, dim: int = 16):
         if payload[: len(CD.PNG_MAGIC)] == CD.PNG_MAGIC:
             px = CD.png_to_rgb(CD.png_decode(payload))
             return CD.bmp_features(px, dim), "png-numpy"
+        if payload[:3] == b"\xff\xd8\xff":
+            from ..functions import jpeg as JP
+
+            return (
+                CD.bmp_features(JP.jpeg_decode(payload), dim),
+                "jpeg-numpy",
+            )
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, rate = CD.wav_decode(payload)
             return CD.wav_features(samples, rate, dim), "wav-numpy"
@@ -266,29 +286,42 @@ def resize_images(
 
                 is_bmp = payload[:2] == b"BM"
                 is_png = payload[: len(CD.PNG_MAGIC)] == CD.PNG_MAGIC
-                if is_bmp or is_png:
-                    # REAL path: from-scratch BMP/PNG nearest-neighbor
-                    # resize (functions/codecs.py) — numpy/zlib only.
-                    # Geometry comes from the DECODED pixels, not the
-                    # metadata columns: nothing validates width/height
-                    # against the payload, and trusting stale metadata
-                    # would silently up-scale a small image (review r5)
+                is_jpg = payload[:3] == b"\xff\xd8\xff"
+                if is_bmp or is_png or is_jpg:
+                    # REAL path: from-scratch BMP/PNG/JPEG nearest-
+                    # neighbor resize (functions/codecs.py, jpeg.py) —
+                    # numpy/zlib only.  Geometry comes from the DECODED
+                    # pixels, not the metadata columns: nothing
+                    # validates width/height against the payload, and
+                    # trusting stale metadata would silently up-scale a
+                    # small image (review r5)
                     try:
-                        px = (
-                            CD.bmp_decode(payload)
-                            if is_bmp
-                            else CD.png_decode(payload)
-                        )
+                        from ..functions import jpeg as JP
+
+                        if is_bmp:
+                            px = CD.bmp_decode(payload)
+                        elif is_png:
+                            px = CD.png_decode(payload)
+                        else:
+                            px = JP.jpeg_decode(payload)
                         h0, w0 = px.shape[0], px.shape[1]
                         scale = min(1.0, max_side / max(w0, h0, 1))
                         tw = max(1, int(w0 * scale))
                         th = max(1, int(h0 * scale))
                         small = CD.resize_nearest_pixels(px, tw, th)
-                        payload, resizer = (
-                            (CD.bmp_encode(small), "bmp-numpy-nn")
-                            if is_bmp
-                            else (CD.png_encode(small), "png-numpy-nn")
-                        )
+                        if is_bmp:
+                            payload, resizer = (
+                                CD.bmp_encode(small), "bmp-numpy-nn"
+                            )
+                        elif is_png:
+                            payload, resizer = (
+                                CD.png_encode(small), "png-numpy-nn"
+                            )
+                        else:
+                            payload, resizer = (
+                                JP.jpeg_encode(small, quality=90),
+                                "jpeg-numpy-nn",
+                            )
                         out_rows.append(
                             (int(media_id), kind, payload, tw, th, resizer)
                         )

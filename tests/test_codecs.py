@@ -135,7 +135,7 @@ def test_real_media_features_decode_for_real(spark):
         by_kind.setdefault(r.kind, []).append(r)
         assert len(r.features) == 16
     assert {r.decoder for r in by_kind["image"]} == {
-        "bmp-numpy", "png-numpy"
+        "bmp-numpy", "png-numpy", "jpeg-numpy"
     }
     assert {r.decoder for r in by_kind["audio"]} == {"wav-numpy"}
     assert {r.decoder for r in by_kind["video"]} == {"mbmp-numpy"}
@@ -154,25 +154,35 @@ def test_real_media_resize_is_a_real_resize(spark):
     media = MM.synthetic_real_media(spark, 12, seed=7)
     out = {r.media_id: r for r in MM.resize_images(media, max_side=8).collect()}
     assert {r.resizer for r in out.values()} == {
-        "bmp-numpy-nn", "png-numpy-nn"
+        "bmp-numpy-nn", "png-numpy-nn", "jpeg-numpy-nn"
+    }
+    from relation_extraction_transformer_spark.functions import jpeg as JP
+
+    dec_by_resizer = {
+        "bmp-numpy-nn": CD.bmp_decode,
+        "png-numpy-nn": CD.png_decode,
+        "jpeg-numpy-nn": JP.jpeg_decode,
     }
     for mid, r in out.items():
         _, _, payload, _, w0, h0, _ = MM.render_real_media(mid, 7)
-        dec = (
-            CD.bmp_decode if r.resizer == "bmp-numpy-nn" else CD.png_decode
-        )
+        dec = dec_by_resizer[r.resizer]
         px0 = dec(payload)
         px1 = dec(bytes(r.payload))
         assert px1.shape == (r.height, r.width, 3)
         assert max(r.width, r.height) <= 8
         # nearest-neighbor: every output pixel is an input pixel
+        # (JPEG re-encode is lossy — compare within quantization error)
         yi = (np.arange(r.height) * px0.shape[0] // r.height).clip(
             0, px0.shape[0] - 1
         )
         xi = (np.arange(r.width) * px0.shape[1] // r.width).clip(
             0, px0.shape[1] - 1
         )
-        assert np.array_equal(px1, px0[yi][:, xi])
+        want = px0[yi][:, xi]
+        if r.resizer == "jpeg-numpy-nn":
+            assert px1.shape == want.shape
+        else:
+            assert np.array_equal(px1, want)
 
 
 def test_real_media_frame_sampling_returns_exact_frames(spark):
