@@ -136,6 +136,9 @@ _DEFERRED_PAST_DRIVER_CAP = (
     # dup_clusters, which get their first driver record this round
     "token_stats",
     "quality_scores",
+    # r6 addition, registered after the rotation: the scaled-cell-count
+    # semdedup twin (pytest-gated like the rest)
+    "semdedup_scaled_cells",
 )
 _DRIVER_CAP = 50
 

@@ -2744,6 +2744,10 @@ def _spark_semdedup(spark, sf):
     proving the drop path on non-empty output: each planted copy must
     cluster with and be dropped against exactly its source.
     """
+    return _spark_semdedup_cells(spark, sf, _IVF_CELLS)
+
+
+def _spark_semdedup_cells(spark, sf, n_cells: int):
     from ..operators import semdedup as SEM
 
     emb = t(spark, sf, "embeddings")
@@ -2759,21 +2763,23 @@ def _spark_semdedup(spark, sf):
         "vec_id", _spark_quantize(F.col("embedding")).alias("v")
     ).localCheckpoint(eager=True)
     # delegation to the scale-true library operator (round 6): the
-    # FIXTURE pins n_cells=4 purely for cross-engine oracle determinism
+    # FIXTURES pin n_cells purely for cross-engine oracle determinism
     # — production callers omit n_cells (cells ∝ corpus size) and set
     # cell_cap so no cell is ever locally quadratic
     out = SEM.semdedup(
         q, "vec_id", "v",
-        threshold=_SEMDEDUP_T, n_cells=_IVF_CELLS, sim_round=9,
+        threshold=_SEMDEDUP_T, n_cells=n_cells, sim_round=9,
     )
     return out.select(
         "vec_id", F.col("cell").cast("long").alias("cell"), "dropped"
     )
 
 
-register(
-    "semdedup_drops",
-    f"""
+def _semdedup_oracle(n_cells: int) -> str:
+    """The DuckDB twin, parametric over the cell count — registered at
+    two cell counts so the operator's cells-∝-corpus knob itself is
+    oracle-checked cross-engine, not just the 4-cell fixture."""
+    return f"""
     WITH emb_planted AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
@@ -2781,7 +2787,7 @@ register(
       WHERE vec_id % 50 = 0
     ),
     q AS (SELECT vec_id, {_DUCK_QUANT} AS v FROM emb_planted),
-    cent AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id < {_IVF_CELLS}),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id < {n_cells}),
     sims AS (
       SELECT q.vec_id, q.v, cent.cell,
              {_DUCK_COS.format(a="q.v", b="cent.cv")} AS csim
@@ -2818,8 +2824,25 @@ register(
     FROM emb_planted p
     LEFT JOIN assign s ON s.vec_id = p.vec_id
     LEFT JOIN dropped d ON d.vec_id = p.vec_id
-    """,
-)(_spark_semdedup)
+    """
+
+
+register("semdedup_drops", _semdedup_oracle(_IVF_CELLS))(_spark_semdedup)
+
+_SEMDEDUP_SCALED_CELLS = 8
+
+
+def _spark_semdedup_scaled(spark, sf):
+    """The same SemDeDup fixture at a DIFFERENT cell count: proves the
+    r6 library operator's cell parameterization cross-engine (the drop
+    set must be identical — planted exact copies co-assign under any
+    cell count — while the cell labels differ)."""
+    return _spark_semdedup_cells(spark, sf, _SEMDEDUP_SCALED_CELLS)
+
+
+register(
+    "semdedup_scaled_cells", _semdedup_oracle(_SEMDEDUP_SCALED_CELLS)
+)(_spark_semdedup_scaled)
 
 
 _CC_ROUNDS = 6
