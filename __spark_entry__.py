@@ -139,6 +139,14 @@ _DEFERRED_PAST_DRIVER_CAP = (
     # r6 addition, registered after the rotation: the scaled-cell-count
     # semdedup twin (pytest-gated like the rest)
     "semdedup_scaled_cells",
+    # second r6 rotation: repetition_scores / corpus_filter_decisions
+    # (driver-green r3-r5) and doc_fingerprints (r2-r5) yield their
+    # slots to the round-6 additions hll_distinct (HyperLogLog sketch),
+    # kg_khop (multi-source BFS) and kg_link_prediction (common-
+    # neighbor / Adamic-Adar) so each earns a driver record at sf0.01
+    "repetition_scores",
+    "corpus_filter_decisions",
+    "doc_fingerprints",
 )
 _DRIVER_CAP = 50
 

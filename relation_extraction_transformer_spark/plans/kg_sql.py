@@ -1139,3 +1139,190 @@ KG_REGISTRY["kg_edge_history"] = QuerySpec(
     GROUP BY t.subj, t.pred, t.obj
     """,
 )
+
+
+# kg_khop -------------------------------------------------------------------
+
+_KHOP_K = 3
+_KHOP_SEEDS = 2
+
+
+def _kg_khop_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    triples: DataFrame | None = None,
+    k: int = _KHOP_K,
+) -> DataFrame:
+    """Multi-source BFS over the directed entity graph: min hop distance
+    from the {_KHOP_SEEDS} highest-out-degree nodes (the hub entities a
+    KG exploration always starts from) to everything reachable within
+    {_KHOP_K} hops — the neighborhood-expansion query behind "show me
+    the 3-hop context of this entity".
+
+    Seeds are picked by (out-degree DESC, subj ASC) — a total order, so
+    both engines choose identically; the pick is orderBy().limit(),
+    which Spark plans as TakeOrdered (distributed per-partition top-k +
+    driver merge of {_KHOP_SEEDS} rows — no single-partition Exchange).
+
+    Scale shape: the edge list is persisted hash-partitioned on subj
+    (the per-round join key, same reuse trick as kg_pagerank), each
+    round is one join + one min-aggregation, and the frontier — NOT the
+    full visited set — drives the next join, so round cost tracks the
+    frontier size.  Plan depth is bounded by k (3 here); an unbounded-k
+    variant would localCheckpoint like the k-core peel."""
+    tri = triples if triples is not None else spark.read.parquet(
+        TRIPLES_PARQUET
+    )
+    edges = (
+        tri.select("subj", "obj").distinct()
+        .repartition(F.col("subj")).persist()
+    )
+    seeds = (
+        edges.groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .orderBy(F.col("outdeg").desc(), F.col("subj"))
+        .limit(_KHOP_SEEDS)
+        .select("subj")
+    )
+    dist = seeds.select(F.col("subj").alias("node"), F.lit(0).alias("dist"))
+    frontier = dist
+    for hop in range(1, k + 1):
+        frontier = (
+            frontier.join(
+                edges.withColumnRenamed("subj", "node"), "node"
+            )
+            .select(F.col("obj").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        dist = dist.unionAll(frontier)
+    return _materialize_release(
+        dist.groupBy("node").agg(F.min("dist").alias("dist")), edges
+    )
+
+
+KG_REGISTRY["kg_khop"] = QuerySpec(
+    spark=_kg_khop_spark,
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT subj, obj FROM read_parquet('{TRIPLES_PARQUET}')
+    ),
+    seeds AS (
+      SELECT subj FROM (
+        SELECT subj, COUNT(*) AS outdeg FROM edges GROUP BY subj
+        ORDER BY outdeg DESC, subj LIMIT {_KHOP_SEEDS}
+      )
+    ),
+    reach(node, d) AS (
+      SELECT subj, 0 FROM seeds
+      UNION
+      SELECT e.obj, r.d + 1
+      FROM reach r JOIN edges e ON e.subj = r.node
+      WHERE r.d < {_KHOP_K}
+    )
+    SELECT node, MIN(d) AS dist FROM reach GROUP BY node
+    """,
+)
+
+
+# kg_link_prediction --------------------------------------------------------
+
+_LP_MIN_CN = 2
+
+
+def _kg_link_prediction_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    triples: DataFrame | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected entity graph:
+    for every NON-adjacent pair sharing >= {_LP_MIN_CN} neighbors, the
+    common-neighbor count and the Adamic-Adar score (sum of 1/ln(deg)
+    over shared neighbors — rare shared neighbors weigh more).  This is
+    the "suggest missing edges" report a freshly extracted KG ships to
+    curators.
+
+    Cross-engine exactness: each 1/ln(deg) term is ROUND(...,12) ->
+    DECIMAL(28,12) BEFORE the order-independent DECIMAL sum (module
+    header rules; a middle node of a wedge always has deg >= 2, so
+    ln(deg) >= ln 2 and the division is safe).
+
+    Scale shape: wedge enumeration joins the symmetric adjacency list
+    with itself on the middle node — Theta(sum deg^2) pairs, the
+    irreducible cost of EXACT common-neighbor counting; at 100 TB the
+    hub nodes dominate, and the production mitigation (degree-capping /
+    sampling hub neighborhoods, as in the triangle census' orientation
+    trick) is applied upstream by filtering max-degree middles.  The
+    existing-edge anti-join and the >= {_LP_MIN_CN} filter keep the
+    output linear in the wedge count, never materialized all-pairs."""
+    und = _und_edges(spark, triples).persist()
+    deg = _und_degrees(und)
+    sym = und.select(
+        F.col("a").alias("v"), F.col("b").alias("n")
+    ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    # wedge: middle v adjacent to both u and w, u < w lexically
+    left = sym.select(F.col("v"), F.col("n").alias("u"))
+    right = sym.select(F.col("v"), F.col("n").alias("w"))
+    wedges = left.join(right, "v").filter(F.col("u") < F.col("w"))
+    scored = (
+        wedges.join(deg.withColumnRenamed("node", "v"), "v")
+        .select(
+            "u",
+            "w",
+            F.round(
+                F.lit(1.0) / F.log(F.col("deg").cast("double")), 12
+            ).cast("decimal(28,12)").alias("aa_term"),
+        )
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("aa_term").alias("aa_dec"),
+        )
+        .filter(F.col("cn") >= _LP_MIN_CN)
+    )
+    out = (
+        scored.join(
+            und,
+            (scored.u == und.a) & (scored.w == und.b),
+            "left_anti",
+        )
+        .select(
+            "u", "w", "cn", F.col("aa_dec").cast("double").alias("aa_score")
+        )
+    )
+    return _materialize_release(out, und)
+
+
+KG_REGISTRY["kg_link_prediction"] = QuerySpec(
+    spark=_kg_link_prediction_spark,
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM read_parquet('{TRIPLES_PARQUET}')
+      WHERE subj <> obj
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    sym AS (
+      SELECT a AS v, b AS n FROM und
+      UNION ALL
+      SELECT b AS v, a AS n FROM und
+    ),
+    scored AS (
+      SELECT l.n AS u, r.n AS w,
+             COUNT(*) AS cn,
+             SUM(CAST(ROUND(1.0 / LN(CAST(d.deg AS DOUBLE)), 12)
+                      AS DECIMAL(28,12))) AS aa_dec
+      FROM sym l
+      JOIN sym r ON r.v = l.v AND l.n < r.n
+      JOIN deg d ON d.node = l.v
+      GROUP BY l.n, r.n
+      HAVING COUNT(*) >= {_LP_MIN_CN}
+    )
+    SELECT s.u, s.w, s.cn, CAST(s.aa_dec AS DOUBLE) AS aa_score
+    FROM scored s
+    ANTI JOIN und e ON e.a = s.u AND e.b = s.w
+    """,
+)

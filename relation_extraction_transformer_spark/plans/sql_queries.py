@@ -2950,3 +2950,57 @@ def _dup_clusters_oracle() -> str:
 
 
 register("dup_clusters", _dup_clusters_oracle())(_spark_dup_clusters)
+
+
+# ===========================================================================
+# §7 Cardinality sketches (HyperLogLog)
+# ===========================================================================
+
+
+def _spark_hll_distinct(spark, sf):
+    """Corpus vocabulary cardinality via the from-scratch HLL sketch
+    (functions/sketches.py) next to the exact COUNT(DISTINCT) for the
+    error report.  At 100 TB only the sketch side survives: a map-side-
+    combinable groupBy onto 1024 registers vs a full distinct shuffle;
+    the exact twin is the small-scale honesty check, not the scale path."""
+    from ..functions import sketches as SK
+
+    toks = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    est = SK.hll_estimate(SK.hll_registers(toks, "tok"))
+    exact = toks.agg(F.count_distinct("tok").alias("exact_distinct"))
+    ex_d = F.col("exact_distinct").cast("double")
+    return est.crossJoin(exact).select(
+        "m",
+        "v_zero",
+        "scaled_sum",
+        "est_hll",
+        "exact_distinct",
+        F.round((F.col("est_hll") - ex_d) / ex_d * F.lit(100.0), 3).alias(
+            "err_pct"
+        ),
+    )
+
+
+def _hll_distinct_oracle() -> str:
+    from ..functions import sketches as SK
+
+    return f"""
+    WITH toks AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    {SK.duck_hll_sql('toks', 'tok')},
+    ex AS (SELECT COUNT(DISTINCT tok) AS exact_distinct FROM toks)
+    SELECT m, v_zero, scaled_sum, est_hll, exact_distinct,
+           ROUND((est_hll - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE) * 100.0, 3) AS err_pct
+    FROM hll_est, ex
+    """
+
+
+register("hll_distinct", _hll_distinct_oracle())(_spark_hll_distinct)

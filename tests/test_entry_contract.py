@@ -90,15 +90,19 @@ def test_rows_only_queries_run(spark, name):
 # the exact 50-query battery the driver records — round-6 rotation:
 # token_stats and quality_scores (driver-green r2-r5) yield their slots
 # to the round-5 additions semdedup_drops and dup_clusters so both earn
-# their first driver-record green (VERDICT r5 ask #2).  Pinned so
+# their first driver-record green (VERDICT r5 ask #2); repetition_scores,
+# corpus_filter_decisions (r3-r5) and doc_fingerprints (r2-r5) yield
+# theirs to the round-6 additions hll_distinct, kg_khop and
+# kg_link_prediction.  Pinned so
 # a future register() call that forgets _DEFERRED_PAST_DRIVER_CAP
 # cannot silently displace a driver-green row (all slots would still be
 # oracle-paired, so a weaker "all paired" check would not catch it).
 _BATTERY_R6 = (
     "vocab_ranked", "semdedup_drops", "dup_clusters",
-    "repetition_scores", "corpus_filter_decisions", "stratified_sample",
+    "hll_distinct", "kg_khop", "kg_link_prediction",
+    "stratified_sample",
     "pack_segments", "bpe_merge_candidates", "lang_guess",
-    "doc_fingerprints", "dedup_exact", "minhash_bands",
+    "dedup_exact", "minhash_bands",
     "minhash_candidate_pairs", "ngram_jaccard_buckets", "simhash_64",
     "ann_cosine_topk", "ann_lsh_buckets", "knn_label_vote",
     "scorer_per_relation", "scorer_micro", "ensemble_majority_vote",

@@ -452,3 +452,71 @@ def test_pagerank_converges_and_plan_stays_bounded(spark):
     assert plan_lines(12) <= plan_lines(5), (
         "in-loop localCheckpoint missing: plan grew with n_iters"
     )
+
+
+# kg_khop / kg_link_prediction brute-force parity ---------------------------
+
+
+def test_khop_matches_python_bfs(spark):
+    """Multi-source BFS distances equal a pure-Python BFS over the same
+    frozen triples, seeds picked by the same (outdeg DESC, subj) order."""
+    from collections import deque
+
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    tri = spark.read.parquet(KQ.TRIPLES_PARQUET)
+    edges = {(r.subj, r.obj) for r in tri.select("subj", "obj").collect()}
+    outdeg = {}
+    adj = {}
+    for s, o in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        adj.setdefault(s, []).append(o)
+    seeds = sorted(outdeg, key=lambda s: (-outdeg[s], s))[: KQ._KHOP_SEEDS]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if dist[n] >= KQ._KHOP_K:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    got = {(r.node, r.dist) for r in KQ._kg_khop_spark(spark, "").collect()}
+    assert got == set(dist.items())
+
+
+def test_link_prediction_matches_python_brute_force(spark):
+    """Common-neighbor counts exact, Adamic-Adar within float tolerance,
+    vs a pure-Python wedge enumeration on the same frozen triples."""
+    import math
+    from itertools import combinations
+
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    tri = spark.read.parquet(KQ.TRIPLES_PARQUET)
+    und = {
+        (min(r.subj, r.obj), max(r.subj, r.obj))
+        for r in tri.select("subj", "obj").collect()
+        if r.subj != r.obj
+    }
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for v, ns in nbrs.items():
+        for u, w in combinations(sorted(ns), 2):
+            cn, aa = want.get((u, w), (0, 0.0))
+            want[(u, w)] = (cn + 1, aa + 1.0 / math.log(len(ns)))
+    want = {
+        p: s
+        for p, s in want.items()
+        if s[0] >= KQ._LP_MIN_CN and p not in und
+    }
+    rows = KQ._kg_link_prediction_spark(spark, "").collect()
+    got = {(r.u, r.w): (r.cn, r.aa_score) for r in rows}
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p][0] == want[p][0], p
+        assert abs(got[p][1] - want[p][1]) < 1e-8, p
