@@ -95,9 +95,33 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats.unpersist()
         return spark.createDataFrame(losses, "step int, loss double")
 
+    def kg_transe_loss(spark, sf_dir):
+        """TransE embedding training over the frozen extracted triples
+        (operators/kg_embed.py): 3 synchronous distributed steps, loss
+        curve out.  Rows-only: the hard gates are the finite-difference
+        gradient check and the distributed==local rtol-1e-12 parity in
+        tests/test_kg_embed.py."""
+        from pyspark.sql import functions as F
+
+        from relation_extraction_transformer_spark.operators import (
+            kg_embed as KE,
+        )
+        from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+        edges = spark.read.parquet(KQ.TRIPLES_PARQUET).select(
+            F.col("subj").alias("src"),
+            F.col("pred").alias("rel"),
+            F.col("obj").alias("dst"),
+        )
+        _, _, _, curve = KE.fit(edges, dim=8, n_steps=3, lr=0.1)
+        return spark.createDataFrame(
+            list(enumerate(curve)), "step int, loss double"
+        )
+
     return {
         "kg_triples": kg_triples,
         "train_loss_curve": train_loss_curve,
+        "kg_transe_loss": kg_transe_loss,
     }
 
 

@@ -58,6 +58,10 @@ HEADLINE = [
     # r6: connected-components duplicate-cluster resolution gets
     # round-over-round walls like the other iterative graph machinery
     "dup_clusters",
+    # r6: HyperLogLog distinct-token sketch (incl. its exact-COUNT
+    # honesty twin, which dominates the wall — the sketch half is the
+    # map-side-combinable 1024-register groupBy)
+    "hll_distinct",
 ]
 
 
@@ -282,6 +286,16 @@ def run_graph_bench(spark: SparkSession) -> dict[str, float]:
         ),
         "kg_triangle_count": timed(
             lambda: KQ._kg_triangle_count_spark(
+                spark, SF_DIR, triples=triples
+            )
+        ),
+        # r6 additions: frontier-join BFS and wedge-enumeration link
+        # prediction over the same corpus-sized triples
+        "kg_khop": timed(
+            lambda: KQ._kg_khop_spark(spark, SF_DIR, triples=triples)
+        ),
+        "kg_link_prediction": timed(
+            lambda: KQ._kg_link_prediction_spark(
                 spark, SF_DIR, triples=triples
             )
         ),
