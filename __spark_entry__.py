@@ -171,6 +171,11 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "repetition_scores",
     "corpus_filter_decisions",
     "doc_fingerprints",
+    # third r6 rotation: stratified_sample and pack_segments (driver-
+    # green r2-r5) yield their slots to cms_heavy_hitters (count-min
+    # sketch) and kg_wcc (connected components over the entity graph)
+    "stratified_sample",
+    "pack_segments",
 )
 _DRIVER_CAP = 50
 

@@ -169,3 +169,92 @@ def duck_hll_sql(source_cte: str, col: str) -> str:
         FROM hll_sum
       )
     )"""
+
+
+# Count-min sketch ----------------------------------------------------------
+#
+# The heavy-hitter companion to HLL: fixed d x w counter grid, est(x) =
+# min_j grid[j][h_j(x)] — an upper bound on the true count that is exact
+# unless every row collides.  Like the HLL above it is (a) built by ONE
+# map-side-combinable groupBy onto d*w cells regardless of input size,
+# (b) mergeable by cell-wise SUM, and (c) cross-engine exact: the per-row
+# hash is the md5->BIGINT construction with the row index prefixed into
+# the hashed string, and every quantity is integer arithmetic end-to-end.
+
+CMS_D = 4
+CMS_W = 256
+
+
+def cms_hash(col, j: int) -> F.Column:
+    """Row-j hash: stable_id of '<j>|<value>' modulo the grid width."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{j}|"), col)), 2, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % CMS_W).cast("int")
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """(j, cell, cnt) counter grid — at most CMS_D * CMS_W rows."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_hash(F.col(col), j).alias("cell"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.groupBy(
+        F.col("s.j").alias("j"), F.col("s.cell").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame, col: str) -> DataFrame:
+    """Join candidate values against the grid: min over the d rows."""
+    probes = candidates.select(
+        F.col(col),
+        *[cms_hash(F.col(col), j).alias(f"c{j}") for j in range(CMS_D)],
+    )
+    out = probes
+    for j in range(CMS_D):
+        s = sketch.filter(F.col("j") == j).select(
+            F.col("cell").alias(f"c{j}"), F.col("cnt").alias(f"n{j}")
+        )
+        out = out.join(s, f"c{j}")
+    return out.select(
+        col,
+        F.least(*[F.col(f"n{j}") for j in range(CMS_D)]).alias("est_cnt"),
+    )
+
+
+def duck_cms_sql(source_cte: str, col: str) -> str:
+    """DuckDB twin: CTEs ending in ``cms_grid`` (j, cell, cnt)."""
+    rows = "\n      UNION ALL\n".join(
+        f"""      SELECT {j} AS j,
+             CAST(CAST(('0x' || substr(md5('{j}|' || {col}), 2, 15))
+                  AS BIGINT) % {CMS_W} AS INTEGER) AS cell
+      FROM {source_cte}"""
+        for j in range(CMS_D)
+    )
+    return f"""
+    cms_cells AS (
+{rows}
+    ),
+    cms_grid AS (
+      SELECT j, cell, COUNT(*) AS cnt FROM cms_cells GROUP BY j, cell
+    )"""
+
+
+def duck_cms_probe(col_expr: str, j: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{j}|' || {col_expr}), 2, 15)) "
+        f"AS BIGINT) % {CMS_W} AS INTEGER)"
+    )

@@ -1326,3 +1326,52 @@ KG_REGISTRY["kg_link_prediction"] = QuerySpec(
     ANTI JOIN und e ON e.a = s.u AND e.b = s.w
     """,
 )
+
+
+# kg_wcc --------------------------------------------------------------------
+
+
+def _kg_wcc_spark(
+    spark: SparkSession, sf_dir: str, triples: DataFrame | None = None
+) -> DataFrame:
+    """Weakly connected components of the entity graph — the first
+    partitioning report over a freshly built KG (how many disconnected
+    knowledge islands did extraction produce, and how big is the giant
+    component).  Reuses operators/canonicalize.connected_components:
+    min-label propagation with label SHORTCUTTING (labels jump to their
+    label's label, so convergence is O(log diameter) shuffle rounds,
+    not O(diameter)) and a localCheckpoint per round for constant plan
+    depth — the same machinery the canonicalization stage and
+    dup_clusters already trust at scale."""
+    from ..operators import canonicalize as CANON
+
+    und = _und_edges(spark, triples)
+    comps = CANON.connected_components(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return comps.select(
+        F.col("node_id").alias("node"), "component"
+    )
+
+
+KG_REGISTRY["kg_wcc"] = QuerySpec(
+    spark=_kg_wcc_spark,
+    oracle=f"""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM read_parquet('{TRIPLES_PARQUET}')
+      WHERE subj <> obj
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION
+      SELECT b AS src, a AS dst FROM und
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+)

@@ -3004,3 +3004,65 @@ def _hll_distinct_oracle() -> str:
 
 
 register("hll_distinct", _hll_distinct_oracle())(_spark_hll_distinct)
+
+
+def _spark_cms_heavy_hitters(spark, sf):
+    """Heavy-hitter counts via the count-min sketch next to the exact
+    counts for the overcount report.  At 100 TB the sketch is the scale
+    path (a bounded d*w counter grid built map-side); the exact twin and
+    the deterministic top-20 candidate pick exist for the oracle gate."""
+    from ..functions import sketches as SK
+
+    toks = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cand = exact.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(20)
+    est = SK.cms_estimate(SK.cms_sketch(toks, "tok"), cand.select("tok"), "tok")
+    return cand.join(est, "tok").select(
+        "tok",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def _cms_heavy_hitters_oracle() -> str:
+    from ..functions import sketches as SK
+
+    probes = "\n      UNION ALL\n".join(
+        f"""      SELECT tok, exact_cnt, {j} AS j,
+             {SK.duck_cms_probe('tok', j)} AS cell
+      FROM cand"""
+        for j in range(SK.CMS_D)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    {SK.duck_cms_sql('toks', 'tok')},
+    exact AS (
+      SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+    ),
+    cand AS (
+      SELECT tok, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, tok LIMIT 20
+    ),
+    probes AS (
+{probes}
+    )
+    SELECT p.tok, p.exact_cnt, MIN(g.cnt) AS est_cnt,
+           MIN(g.cnt) - p.exact_cnt AS overcount
+    FROM probes p
+    JOIN cms_grid g ON g.j = p.j AND g.cell = p.cell
+    GROUP BY p.tok, p.exact_cnt
+    """
+
+
+register("cms_heavy_hitters", _cms_heavy_hitters_oracle())(
+    _spark_cms_heavy_hitters
+)

@@ -93,15 +93,16 @@ def test_rows_only_queries_run(spark, name):
 # their first driver-record green (VERDICT r5 ask #2); repetition_scores,
 # corpus_filter_decisions (r3-r5) and doc_fingerprints (r2-r5) yield
 # theirs to the round-6 additions hll_distinct, kg_khop and
-# kg_link_prediction.  Pinned so
+# kg_link_prediction; stratified_sample and pack_segments (r2-r5) to
+# cms_heavy_hitters and kg_wcc.  Pinned so
 # a future register() call that forgets _DEFERRED_PAST_DRIVER_CAP
 # cannot silently displace a driver-green row (all slots would still be
 # oracle-paired, so a weaker "all paired" check would not catch it).
 _BATTERY_R6 = (
     "vocab_ranked", "semdedup_drops", "dup_clusters",
     "hll_distinct", "kg_khop", "kg_link_prediction",
-    "stratified_sample",
-    "pack_segments", "bpe_merge_candidates", "lang_guess",
+    "cms_heavy_hitters", "kg_wcc",
+    "bpe_merge_candidates", "lang_guess",
     "dedup_exact", "minhash_bands",
     "minhash_candidate_pairs", "ngram_jaccard_buckets", "simhash_64",
     "ann_cosine_topk", "ann_lsh_buckets", "knn_label_vote",

@@ -520,3 +520,39 @@ def test_link_prediction_matches_python_brute_force(spark):
     for p in want:
         assert got[p][0] == want[p][0], p
         assert abs(got[p][1] - want[p][1]) < 1e-8, p
+
+
+def test_wcc_matches_python_union_find(spark):
+    """kg_wcc equals a pure-Python union-find with min-id relabeling
+    over the same frozen triples."""
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    tri = spark.read.parquet(KQ.TRIPLES_PARQUET)
+    und = {
+        (min(r.subj, r.obj), max(r.subj, r.obj))
+        for r in tri.select("subj", "obj").collect()
+        if r.subj != r.obj
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {
+        n: min(members)
+        for members in comp.values()
+        for n in members
+    }
+    got = {r.node: r.component for r in KQ._kg_wcc_spark(spark, "").collect()}
+    assert got == want

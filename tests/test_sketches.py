@@ -92,3 +92,56 @@ def test_duplicates_do_not_move_estimate(spark):
     assert sorted(map(tuple, SK.hll_registers(df, "tok").collect())) == sorted(
         map(tuple, SK.hll_registers(fat, "tok").collect())
     )
+
+
+# Count-min sketch ----------------------------------------------------------
+
+
+def _py_cms(values):
+    """Pure-Python CMS grid oracle: same '<j>|<value>' md5 hash."""
+    grid = {}
+    for v in values:
+        for j in range(SK.CMS_D):
+            h = int(
+                hashlib.md5(f"{j}|{v}".encode()).hexdigest()[1:16], 16
+            ) % SK.CMS_W
+            grid[(j, h)] = grid.get((j, h), 0) + 1
+    return grid
+
+
+def test_cms_grid_matches_python_oracle(spark):
+    vals = [f"t{i % 300}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok: string")
+    got = {(r.j, r.cell): r.cnt for r in SK.cms_sketch(df, "tok").collect()}
+    assert got == _py_cms(vals)
+
+
+def test_cms_estimate_upper_bounds_and_finds_heavy_hitters(spark):
+    """est >= exact always (CMS guarantee), and with 300 distinct values
+    in a 4x256 grid the planted heavy hitter is estimated exactly or
+    within the classic eps*N slack."""
+    vals = [f"t{i % 300}" for i in range(1500)] + ["whale"] * 400
+    df = spark.createDataFrame([(v,) for v in vals], "tok: string")
+    sk = SK.cms_sketch(df, "tok")
+    from collections import Counter
+
+    exact = Counter(vals)
+    cand = spark.createDataFrame(
+        [(t,) for t in sorted(exact)], "tok: string"
+    )
+    est = {r.tok: r.est_cnt for r in SK.cms_estimate(sk, cand, "tok").collect()}
+    n = len(vals)
+    for tok, cnt in exact.items():
+        assert est[tok] >= cnt, tok
+        # eps = e/w; overcount <= eps*N with prob 1 - e^-d; allow 2x slack
+        assert est[tok] - cnt <= 2 * 2.718 * n / SK.CMS_W, tok
+    assert est["whale"] == max(est.values())
+
+
+def test_cms_partition_independent(spark):
+    vals = [(f"t{i % 100}",) for i in range(800)]
+    a = spark.createDataFrame(vals, "tok: string").repartition(1)
+    b = spark.createDataFrame(vals, "tok: string").repartition(9)
+    assert sorted(map(tuple, SK.cms_sketch(a, "tok").collect())) == sorted(
+        map(tuple, SK.cms_sketch(b, "tok").collect())
+    )
