@@ -1152,6 +1152,7 @@ def _kg_khop_spark(
     sf_dir: str,
     triples: DataFrame | None = None,
     k: int = _KHOP_K,
+    materialize: bool = True,
 ) -> DataFrame:
     """Multi-source BFS over the directed entity graph: min hop distance
     from the {_KHOP_SEEDS} highest-out-degree nodes (the hub entities a
@@ -1195,9 +1196,10 @@ def _kg_khop_spark(
             .distinct()
         )
         dist = dist.unionAll(frontier)
-    return _materialize_release(
-        dist.groupBy("node").agg(F.min("dist").alias("dist")), edges
-    )
+    out = dist.groupBy("node").agg(F.min("dist").alias("dist"))
+    if not materialize:  # plan-inspection path: caller sees the raw plan
+        return out
+    return _materialize_release(out, edges)
 
 
 KG_REGISTRY["kg_khop"] = QuerySpec(

@@ -97,3 +97,28 @@ def run_stream_to_parquet(
         q.awaitTermination(300)
         return q
     return writer.start()
+
+
+def streaming_hll_registers(
+    spark: SparkSession, docs_dir: str, schema: str, text_col: str = "text"
+) -> DataFrame:
+    """Streaming distinct-token cardinality: the HyperLogLog register
+    fold (functions/sketches.py) expressed as a STANDARD streaming
+    aggregation — ``groupBy(bucket).agg(max(rho))`` over the tokenized
+    stream.  No custom stateful operator needed: register state is
+    BOUNDED at HLL_M rows (1024) no matter how many tokens stream
+    through, which is exactly the sketch property that makes a
+    complete-mode distinct-count scale-safe where the exact streaming
+    ``COUNT(DISTINCT)`` (unbounded key state) is not.  The emitted
+    register frame feeds ``sketches.hll_estimate`` / ``hll_merge``
+    unchanged — a batch sketch and a streamed sketch of the same data
+    are identical rows (tests pin this)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import sketches as SK
+
+    docs = spark.readStream.schema(schema).parquet(docs_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return SK.hll_registers(toks, "tok")

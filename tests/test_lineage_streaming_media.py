@@ -623,3 +623,48 @@ def test_dedup_fn_no_ttl_never_arms_timeout():
     state = _FakeGroupState()
     list(SF._dedup_fn((0,), iter([_dedup_batch(["a"])]), state))
     assert state.timeout_calls == []
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Streamed HLL registers == batch sketch of the same corpus, and a
+    second incremental delivery folds in exactly (final registers equal
+    the batch sketch over the union) — the sketch-maintenance loop a
+    24/7 ingest would run."""
+    from relation_extraction_transformer_spark.functions import sketches as SK
+    from relation_extraction_transformer_spark.streaming import stream as ST
+
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "hll_ck")
+    schema = "doc_id long, text string"
+
+    d1 = spark.createDataFrame(
+        [(i, f"alpha tok{i} beta tok{i % 7}") for i in range(60)], schema
+    )
+    d1.write.parquet(src)
+
+    def run_once():
+        q = (
+            ST.streaming_hll_registers(spark, src, schema)
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", ck)
+            .format("memory").queryName("hll_regs")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            map(tuple, spark.sql("SELECT bucket, rho FROM hll_regs").collect())
+        )
+
+    def batch_regs(df):
+        toks = df.selectExpr(
+            "explode(split(lower(text), ' ')) AS tok"
+        ).filter("tok <> ''")
+        return sorted(map(tuple, SK.hll_registers(toks, "tok").collect()))
+
+    assert run_once() == batch_regs(d1)
+
+    d2 = spark.createDataFrame(
+        [(1000 + i, f"gamma tok{i} delta") for i in range(40, 90)], schema
+    )
+    d2.write.mode("append").parquet(src)
+    assert run_once() == batch_regs(d1.unionAll(d2))

@@ -216,3 +216,56 @@ def test_dup_clusters_plan_depth_is_bounded(spark):
         f"plan unexpectedly deep ({len(plan.splitlines())} lines) — "
         "did the per-round localCheckpoint disappear?"
     )
+
+
+def test_hll_plan_is_jvm_side_with_partial_aggregation(spark):
+    """The sketch path must stay whole-stage-codegen JVM: no Python at
+    all, and the register groupBy must partially aggregate map-side
+    (the property that makes the shuffle O(partitions x 1024) rather
+    than O(tokens))."""
+    from relation_extraction_transformer_spark.functions import sketches as SK
+
+    toks = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    plan = _plan(SK.hll_registers(toks, "tok"))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "partial_max" in plan, "register max must combine map-side"
+    assert "Exchange SinglePartition" not in plan, (
+        "register frame must stay hash-partitioned (1024 buckets)"
+    )
+
+
+def test_cms_plan_is_jvm_side_with_partial_aggregation(spark):
+    from relation_extraction_transformer_spark.functions import sketches as SK
+
+    toks = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    plan = _plan(SK.cms_sketch(toks, "tok"))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "partial_count" in plan, "grid counts must combine map-side"
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_khop_seed_pick_and_frontier_joins_are_scale_shaped(spark):
+    """kg_khop's seed pick must plan as TakeOrderedAndProject (per-
+    partition top-k + driver merge of 2 rows), never a global sort
+    through one partition; each BFS round must broadcast the (small)
+    frontier against the cached edge list (InMemoryTableScan — the
+    edges are persisted once, hash-partitioned on subj) rather than
+    shuffling the edges per round; and nothing drops to per-row
+    Python."""
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    out = KQ._kg_khop_spark(spark, "", materialize=False)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, "seed pick must be top-k"
+    assert "Exchange SinglePartition" not in plan
+    assert "InMemoryTableScan" in plan, "edge cache must back each round"
+    assert "BroadcastHashJoin" in plan, "frontier side must broadcast"
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
