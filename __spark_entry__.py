@@ -118,10 +118,33 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             list(enumerate(curve)), "step int, loss double"
         )
 
+    def kg_transe_ranking(spark, sf_dir):
+        """Link-prediction evaluation of the trained TransE model:
+        filtered MRR / Hits@k over both corruption sides
+        (operators/kg_embed.py::evaluate_ranking).  Rows-only: the hard
+        gates are the brute-force rank oracle, block-size invariance,
+        and the perfect-embedding MRR=1 property in
+        tests/test_kg_embed.py."""
+        from pyspark.sql import functions as F
+
+        from relation_extraction_transformer_spark.operators import (
+            kg_embed as KE,
+        )
+        from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+        edges = spark.read.parquet(KQ.TRIPLES_PARQUET).select(
+            F.col("subj").alias("src"),
+            F.col("pred").alias("rel"),
+            F.col("obj").alias("dst"),
+        )
+        params, ent_ids, rel_ids, _ = KE.fit(edges, dim=8, n_steps=3, lr=0.1)
+        return KE.evaluate_ranking(edges, params, ent_ids, rel_ids)
+
     return {
         "kg_triples": kg_triples,
         "train_loss_curve": train_loss_curve,
         "kg_transe_loss": kg_transe_loss,
+        "kg_transe_ranking": kg_transe_ranking,
     }
 
 

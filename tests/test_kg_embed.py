@@ -113,3 +113,125 @@ def test_fit_deterministic_across_runs(spark):
     _, _, _, c1 = KE.fit(edges, dim=8, n_steps=3, lr=0.1)
     _, _, _, c2 = KE.fit(edges.repartition(7), dim=8, n_steps=3, lr=0.1)
     assert c1 == pytest.approx(c2, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction ranking (MRR / Hits@k, raw + filtered)
+# ---------------------------------------------------------------------------
+
+
+def _rank_oracle(id_triples, ent, rel, kt, kh):
+    """Independent per-triple loop: full squared distances (keeping the
+    ||pred||^2 term rank_triples drops), strict-less rank, filtered by
+    discounting known-true competitors."""
+    rows = []
+    for h, r, t in id_triples:
+        for side in ("tail", "head"):
+            pred = ent[h] + rel[r] if side == "tail" else ent[t] - rel[r]
+            true = t if side == "tail" else h
+            d = ((pred[None, :] - ent) ** 2).sum(1)
+            raw = 1 + int((d < d[true]).sum())
+            comp = kt.get((h, r)) if side == "tail" else kh.get((r, t))
+            ahead = 0 if comp is None else int((d[comp] < d[true]).sum())
+            rows.append((h, r, t, side, raw, raw - ahead))
+    return sorted(rows)
+
+
+def test_rank_triples_matches_bruteforce_oracle(spark):
+    """Distributed ranks (both corruption sides, raw + filtered) equal
+    the per-triple loop oracle exactly, and are invariant under
+    repartitioning (no partition-dependent state)."""
+    edges = _edges_df(spark, _TRIPLES)
+    ent_ids, rel_ids = KE.build_id_maps(edges)
+    params = KE.init_params(len(ent_ids), len(rel_ids), dim=6, seed=4)
+    id_edges = KE.to_id_edges(edges, ent_ids, rel_ids)
+    known = KE.build_known_maps(id_edges)
+    expected = _rank_oracle(
+        [tuple(r) for r in id_edges.collect()],
+        params["ent_emb"], params["rel_emb"], *known,
+    )
+    got = sorted(map(tuple, KE.rank_triples(id_edges, params, known).collect()))
+    assert got == expected
+    got7 = sorted(
+        map(
+            tuple,
+            KE.rank_triples(id_edges.repartition(7), params, known).collect(),
+        )
+    )
+    assert got7 == expected
+
+
+def test_rank_triples_small_blocks_equal_one_block(spark):
+    """The block_bytes memory bound must not change any rank: forcing
+    one-row distance blocks reproduces the single-block result."""
+    edges = _edges_df(spark, _TRIPLES[:20])
+    ent_ids, rel_ids = KE.build_id_maps(edges)
+    params = KE.init_params(len(ent_ids), len(rel_ids), dim=5, seed=9)
+    id_edges = KE.to_id_edges(edges, ent_ids, rel_ids)
+    known = KE.build_known_maps(id_edges)
+    big = sorted(map(tuple, KE.rank_triples(id_edges, params, known).collect()))
+    tiny = sorted(
+        map(
+            tuple,
+            KE.rank_triples(id_edges, params, known, block_bytes=1).collect(),
+        )
+    )
+    assert tiny == big
+
+
+def test_filtered_rank_discounts_known_true_competitors(spark):
+    """(a, r, b) and (a, r, c) both true with b scoring ahead of c:
+    c's raw tail-rank counts b as an error (rank 2), the filtered rank
+    does not (rank 1)."""
+    edges = _edges_df(spark, [("a", "r", "b"), ("a", "r", "c")])
+    ent_ids, rel_ids = KE.build_id_maps(edges)
+    params = {
+        "ent_emb": np.array([[0.0, 0.0], [10.0, 0.0], [11.0, 0.0]]),  # a, b, c
+        "rel_emb": np.array([[10.0, 0.0]]),  # a+r lands on b; c next; a far
+    }
+    id_edges = KE.to_id_edges(edges, ent_ids, rel_ids)
+    known = KE.build_known_maps(id_edges)
+    rows = {
+        (r.t, r.side): (r.rank_raw, r.rank_filtered)
+        for r in KE.rank_triples(id_edges, params, known).collect()
+    }
+    c_id = ent_ids["c"]
+    assert rows[(c_id, "tail")] == (2, 1)
+    b_id = ent_ids["b"]
+    assert rows[(b_id, "tail")] == (1, 1)
+
+
+def test_perfect_embeddings_rank_one_everywhere(spark):
+    """Chain KG whose embeddings satisfy E[t] = E[h] + R[r] exactly:
+    every filtered rank is 1 on both sides, so MRR and Hits@1 are 1.0
+    end to end through evaluate_ranking's metric aggregation."""
+    chain = [(f"e{i}", "next", f"e{i + 1}") for i in range(5)]
+    edges = _edges_df(spark, chain)
+    ent_ids, rel_ids = KE.build_id_maps(edges)
+    ent = np.array([[float(i), 0.0] for i in range(len(ent_ids))])
+    params = {"ent_emb": ent, "rel_emb": np.array([[1.0, 0.0]])}
+    metrics = {
+        r.side: r
+        for r in KE.evaluate_ranking(edges, params, ent_ids, rel_ids).collect()
+    }
+    for side in ("head", "tail"):
+        m = metrics[side]
+        assert m.n == 5
+        assert m.mrr == 1.0 and m.hits1 == 1.0 and m.mean_rank == 1.0
+
+
+def test_ranking_metrics_exact_values(spark):
+    ranks = spark.createDataFrame(
+        [(0, 0, 0, "tail", 1, 1), (0, 0, 1, "tail", 4, 2),
+         (0, 0, 2, "tail", 20, 12)],
+        "h long, r long, t long, side string, rank_raw long, rank_filtered long",
+    )
+    m = KE.ranking_metrics(ranks).collect()[0]
+    assert m.n == 3
+    assert m.mrr == pytest.approx(round((1 + 0.5 + 1 / 12) / 3, 6))
+    assert m.hits1 == pytest.approx(round(1 / 3, 6))
+    assert m.hits3 == pytest.approx(round(2 / 3, 6))
+    assert m.hits10 == pytest.approx(round(2 / 3, 6))
+    assert m.mean_rank == 5.0
+    raw = KE.ranking_metrics(ranks, rank_col="rank_raw").collect()[0]
+    assert raw.mean_rank == pytest.approx(round(25 / 3, 6))
