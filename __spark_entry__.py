@@ -199,6 +199,9 @@ _DEFERRED_PAST_DRIVER_CAP = (
     # sketch) and kg_wcc (connected components over the entity graph)
     "stratified_sample",
     "pack_segments",
+    # r6 addition, registered after the rotations: incremental edge
+    # rollup (merge==rebuild law checked cross-engine; pytest-gated)
+    "kg_edge_history_incremental",
 )
 _DRIVER_CAP = 50
 

@@ -81,6 +81,103 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def hll_registers_by(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Per-group HLL registers: ``(*keys, bucket, rho)`` with one row
+    per non-empty bucket per group — the sparse form, so a group with k
+    distinct values carries at most min(k, m) rows.  This is the
+    mergeable state for incremental per-group distinct counting (e.g.
+    distinct urls per KG edge): two state frames merge by
+    ``groupBy(*keys, bucket).max(rho)``, exactly like the global
+    sketch, and the per-group estimate never re-reads raw data."""
+    h = hll_hash(F.col(col))
+    x = F.expr(f"h DIV {HLL_M}")
+    return (
+        df.select(*keys, h.alias("h"))
+        .select(
+            *keys,
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.when(x == 0, F.lit(_RHO_MAX))
+            .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(x)))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-group estimate ``(*keys, est_hll)`` from grouped registers —
+    the same all-integer harmonic sum / single-division / ROUND-gated
+    linear-counting branch as :func:`hll_estimate`, per group.  Small
+    groups (the per-edge case) always land in the linear-counting
+    regime, where the estimate is near-exact."""
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"CAST(pow(2, {_RHO_MAX} - rho) AS BIGINT)")
+        ).alias("present_sum"),
+    )
+    v_zero = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    scaled = (
+        F.coalesce(F.col("present_sum"), F.lit(0))
+        + v_zero * F.lit(1 << _RHO_MAX)
+    ).cast("long")
+    raw = F.round(F.lit(_B_LIT) / scaled.cast("double"), 3)
+    est = F.when(
+        (v_zero > 0) & (raw <= F.lit(_LC_THRESHOLD)),
+        F.round(
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+            3,
+        ),
+    ).otherwise(raw)
+    return agg.select(*keys, est.alias("est_hll"))
+
+
+def duck_hll_by_sql(source_cte: str, keys: list[str], col: str) -> str:
+    """DuckDB twin of hll_registers_by + hll_estimate_by: emits CTEs
+    ending in ``hll_by_est`` with columns ``(*keys, est_hll)``."""
+    ks = ", ".join(keys)
+    return f"""
+    hll_by_h AS (
+      SELECT {ks},
+             CAST(('0x' || substr(md5({col}), 2, 15)) AS BIGINT) AS h
+      FROM {source_cte}
+    ),
+    hll_by_regs AS (
+      SELECT {ks}, h % {HLL_M} AS bucket,
+             MAX(CASE WHEN h // {HLL_M} = 0 THEN {_RHO_MAX}
+                      ELSE {_RHO_MAX} - length(bin(h // {HLL_M})) END) AS rho
+      FROM hll_by_h GROUP BY {ks}, bucket
+    ),
+    hll_by_sum AS (
+      SELECT {ks}, COUNT(*) AS n_present,
+             CAST(SUM(CAST(pow(2, {_RHO_MAX} - rho) AS BIGINT)) AS BIGINT)
+               AS present_sum
+      FROM hll_by_regs GROUP BY {ks}
+    ),
+    hll_by_est AS (
+      SELECT {ks},
+             CASE WHEN v_zero > 0 AND raw <= {_LC_THRESHOLD}
+                  THEN ROUND({float(HLL_M)} * LN({float(HLL_M)} / v_zero), 3)
+                  ELSE raw END AS est_hll
+      FROM (
+        SELECT {ks}, v_zero,
+               ROUND({_B_LIT!r} / CAST(scaled_sum AS DOUBLE), 3) AS raw
+        FROM (
+          SELECT {ks},
+                 {HLL_M} - n_present AS v_zero,
+                 CAST(COALESCE(present_sum, 0)
+                      + ({HLL_M} - n_present)
+                        * CAST(pow(2, {_RHO_MAX}) AS BIGINT)
+                      AS BIGINT) AS scaled_sum
+          FROM hll_by_sum
+        )
+      )
+    )"""
+
+
 def hll_merge(*register_dfs: DataFrame) -> DataFrame:
     """Merge sketches: element-wise register MAX.  This is the whole
     point at scale — per-shard sketches union + one tiny groupBy, never

@@ -1377,3 +1377,69 @@ KG_REGISTRY["kg_wcc"] = QuerySpec(
     SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
     """,
 )
+
+
+# kg_edge_history_incremental ------------------------------------------------
+
+
+def _kg_edge_history_incremental_spark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental twin of kg_edge_history: the crawl is split into two
+    deterministic deltas (md5(url) parity — content-keyed, so the split
+    is partitioning-independent), each delta folds into mergeable
+    per-edge state (operators/incremental.py), the states merge, and the
+    report comes off the MERGED state only.  The DuckDB oracle computes
+    the same rollup from the FULL crawl in one pass — so the driver's
+    hash comparison IS the merge==rebuild law, checked cross-engine.
+    Distinct-url counts come from the per-edge HLL register state
+    (bounded, mergeable) rather than COUNT(DISTINCT) (not mergeable);
+    both engines run the identical sketch."""
+    from ..operators import incremental as INC
+
+    tri = spark.read.parquet(TRIPLES_PARQUET).select(
+        "url", "subj", "pred", "obj", "prob"
+    )
+    pages = spark.read.parquet(PAGES_PARQUET).select(
+        "url", F.unix_timestamp("warc_ts").cast("bigint").alias("ts")
+    )
+    obs = tri.join(pages, "url")
+    parity = (
+        F.conv(F.substring(F.md5("url"), 2, 15), 16, 10).cast("long") % 2
+    )
+    s0 = INC.edge_state(obs.where(parity == 0))
+    s1 = INC.edge_state(obs.where(parity == 1))
+    return INC.edge_report(INC.merge_edge_state(s0, s1))
+
+
+def _edge_history_incremental_oracle() -> str:
+    from ..functions.sketches import duck_hll_by_sql
+
+    return f"""
+    WITH obs AS (
+      SELECT t.subj, t.pred, t.obj, t.url, t.prob,
+             CAST(epoch(p.warc_ts) AS BIGINT) AS ts
+      FROM read_parquet('{TRIPLES_PARQUET}') t
+      JOIN read_parquet('{PAGES_PARQUET}') p ON p.url = t.url
+    ),
+    {duck_hll_by_sql("obs", ["subj", "pred", "obj"], "url").lstrip()},
+    stats AS (
+      SELECT subj, pred, obj,
+             COUNT(*) AS n_obs,
+             MIN(ts) AS first_seen,
+             MAX(ts) AS last_seen,
+             ROUND(MAX(prob), 6) AS max_prob
+      FROM obs GROUP BY subj, pred, obj
+    )
+    SELECT s.subj, s.pred, s.obj, s.n_obs, s.first_seen, s.last_seen,
+           s.max_prob, e.est_hll AS est_urls
+    FROM stats s
+    JOIN hll_by_est e
+      ON e.subj = s.subj AND e.pred = s.pred AND e.obj = s.obj
+    """
+
+
+KG_REGISTRY["kg_edge_history_incremental"] = QuerySpec(
+    spark=_kg_edge_history_incremental_spark,
+    oracle=_edge_history_incremental_oracle(),
+)
