@@ -199,9 +199,13 @@ _DEFERRED_PAST_DRIVER_CAP = (
     # sketch) and kg_wcc (connected components over the entity graph)
     "stratified_sample",
     "pack_segments",
-    # r6 addition, registered after the rotations: incremental edge
-    # rollup (merge==rebuild law checked cross-engine; pytest-gated)
+    # r6 additions, registered after the rotations: incremental edge
+    # rollup (merge==rebuild law checked cross-engine; pytest-gated),
+    # Knowledge-Vault-style noisy-or belief fusion, and functional-
+    # predicate conflict resolution (truth discovery)
     "kg_edge_history_incremental",
+    "kg_fusion",
+    "kg_conflicts",
 )
 _DRIVER_CAP = 50
 

@@ -33,9 +33,10 @@ shuffle-reuse join).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import sketches as SK
@@ -84,6 +85,24 @@ def merge_edge_state(a: EdgeState, b: EdgeState) -> EdgeState:
         .agg(F.max("rho").alias("rho"))
     )
     return EdgeState(stats, regs)
+
+
+def write_edge_state(state: EdgeState, path: str, mode: str = "overwrite") -> None:
+    """Persist standing state as two parquet datasets (``stats/`` and
+    ``regs/``) — the durable handoff between daily fold-in jobs.  Both
+    frames are edge-keyed aggregates, orders of magnitude smaller than
+    the raw crawl; writing them partitioned-as-aggregated keeps the next
+    fold's merge a local groupBy after the union."""
+    state.stats.write.mode(mode).parquet(os.path.join(path, "stats"))
+    state.regs.write.mode(mode).parquet(os.path.join(path, "regs"))
+
+
+def read_edge_state(spark: SparkSession, path: str) -> EdgeState:
+    """Load persisted state written by :func:`write_edge_state`."""
+    return EdgeState(
+        stats=spark.read.parquet(os.path.join(path, "stats")),
+        regs=spark.read.parquet(os.path.join(path, "regs")),
+    )
 
 
 def edge_report(state: EdgeState) -> DataFrame:

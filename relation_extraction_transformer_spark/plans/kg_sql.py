@@ -1443,3 +1443,146 @@ KG_REGISTRY["kg_edge_history_incremental"] = QuerySpec(
     spark=_kg_edge_history_incremental_spark,
     oracle=_edge_history_incremental_oracle(),
 )
+
+
+# kg_fusion / kg_conflicts ---------------------------------------------------
+#
+# Knowledge fusion (Dong et al. 2014, "Knowledge Vault"): the extractor
+# emits one scored observation per (sentence, pair) — the reference
+# scores instances independently and never aggregates across documents
+# (ref eval.py:77-99 writes per-instance probabilities and stops there).
+# A KG under construction must FUSE those observations into one belief
+# per candidate fact, then resolve contradictions among single-valued
+# predicates.  Both are pure aggregations + partitioned windows: scale-
+# safe (no SinglePartition exchange, no all-pairs).
+#
+# Cross-engine exactness: noisy-or fusion is 1 - prod(1 - p_i); a double
+# product is order-dependent, so both engines sum per-observation
+# ROUND(ln(1 - p), 6) quantized to DECIMAL(18,6) (the unigram_logprob
+# pattern) and report the negated sum as the fused score — the same
+# monotone ranking, bit-exact under any partitioning.
+
+# Single-valued ("functional") predicates in the TACRED relation
+# inventory: a person is born/dies in one city, on one date; an org
+# dissolves once and is headquartered in one country.
+FUNCTIONAL_PREDS = (
+    "per:city_of_birth",
+    "per:city_of_death",
+    "per:country_of_death",
+    "per:date_of_death",
+    "org:dissolved",
+    "org:country_of_headquarters",
+)
+
+
+def _fused_triples(spark: SparkSession) -> DataFrame:
+    """Per distinct (subj, pred, obj): observation count, source-url
+    breadth, and the noisy-or fused score as an exact DECIMAL."""
+    obs = spark.read.parquet(TRIPLES_PARQUET).select(
+        "subj", "pred", "obj", "url", "prob"
+    )
+    nl = F.round(
+        F.log(F.lit(1.0) - F.least(F.col("prob"), F.lit(0.999999))), 6
+    ).cast("decimal(18,6)")
+    return (
+        obs.withColumn("nl", nl)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.countDistinct("url").alias("n_urls"),
+            (-F.sum("nl")).alias("score_dec"),
+        )
+    )
+
+
+_FUSED_SQL = f"""
+    obs AS (
+      SELECT subj, pred, obj, url, prob
+      FROM read_parquet('{TRIPLES_PARQUET}')
+    ),
+    fused AS (
+      SELECT subj, pred, obj,
+             COUNT(*) AS n_obs,
+             COUNT(DISTINCT url) AS n_urls,
+             -SUM(CAST(ROUND(ln(1 - LEAST(prob, 0.999999)), 6)
+                       AS DECIMAL(18,6))) AS score_dec
+      FROM obs GROUP BY subj, pred, obj
+    )"""
+
+
+def _kg_fusion_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fused_triples(spark).select(
+        "subj", "pred", "obj", "n_obs", "n_urls",
+        F.col("score_dec").cast("double").alias("fused_score"),
+    )
+
+
+KG_REGISTRY["kg_fusion"] = QuerySpec(
+    spark=_kg_fusion_spark,
+    oracle=f"""
+    WITH {_FUSED_SQL.strip()}
+    SELECT subj, pred, obj, n_obs, n_urls,
+           CAST(score_dec AS DOUBLE) AS fused_score
+    FROM fused
+    """,
+)
+
+
+def _kg_conflicts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery for functional predicates: among contradicting
+    objects for one (subj, pred), keep the fused-score winner and report
+    its margin over the runner-up.  One partitioned window over the
+    already-fused (vocabulary-sized per key) candidate table — the heavy
+    lifting stays in the fusion aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.col("score_dec").desc(), F.col("n_obs").desc(), F.col("obj").asc()
+    )
+    wp = Window.partitionBy("subj", "pred")
+    return (
+        _fused_triples(spark)
+        .where(F.col("pred").isin(*FUNCTIONAL_PREDS))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("runner_dec", F.lead("score_dec", 1).over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wp))
+        .withColumn("total_obs", F.sum("n_obs").over(wp))
+        .where((F.col("rn") == 1) & (F.col("n_candidates") >= 2))
+        .select(
+            "subj", "pred",
+            F.col("obj").alias("winner_obj"),
+            F.col("n_obs").alias("winner_obs"),
+            "n_candidates", "total_obs",
+            F.col("score_dec").cast("double").alias("winner_score"),
+            (F.col("score_dec") - F.col("runner_dec"))
+            .cast("double").alias("margin"),
+        )
+    )
+
+
+KG_REGISTRY["kg_conflicts"] = QuerySpec(
+    spark=_kg_conflicts_spark,
+    oracle=f"""
+    WITH {_FUSED_SQL.strip()},
+    ranked AS (
+      SELECT subj, pred, obj, n_obs, score_dec,
+             ROW_NUMBER() OVER w AS rn,
+             LEAD(score_dec, 1) OVER w AS runner_dec,
+             COUNT(*) OVER (PARTITION BY subj, pred) AS n_candidates,
+             CAST(SUM(n_obs) OVER (PARTITION BY subj, pred) AS BIGINT)
+               AS total_obs
+      FROM fused
+      WHERE pred IN {FUNCTIONAL_PREDS!r}
+      WINDOW w AS (PARTITION BY subj, pred
+                   ORDER BY score_dec DESC, n_obs DESC, obj ASC)
+    )
+    SELECT subj, pred,
+           obj AS winner_obj,
+           n_obs AS winner_obs,
+           n_candidates, total_obs,
+           CAST(score_dec AS DOUBLE) AS winner_score,
+           CAST(score_dec - runner_dec AS DOUBLE) AS margin
+    FROM ranked
+    WHERE rn = 1 AND n_candidates >= 2
+    """,
+)

@@ -124,3 +124,23 @@ def test_register_state_is_bounded_and_partition_invariant(spark):
         map(tuple, st.regs.collect())
     )
     assert _report_rows(st7) == _report_rows(st)
+
+
+def test_state_persists_and_folds_after_reload(spark, tmp_path):
+    """The 24/7 loop: fold delta 0, persist to parquet, reload in a
+    'later job', fold delta 1 into the reloaded state — report must
+    equal the full rebuild exactly (merge==rebuild survives the disk
+    round-trip, schema intact)."""
+    obs = _obs_df(spark)
+    d0 = obs.where(F.crc32(F.col("url")) % 2 == 0)
+    d1 = obs.where(F.crc32(F.col("url")) % 2 == 1)
+    INC.write_edge_state(INC.edge_state(d0), str(tmp_path / "state"))
+    loaded = INC.read_edge_state(spark, str(tmp_path / "state"))
+    # parquet round-trips relax nullability; names + types must survive
+    fresh = INC.edge_state(d0)
+    for got, want in ((loaded.stats, fresh.stats), (loaded.regs, fresh.regs)):
+        assert [(f.name, f.dataType) for f in got.schema] == [
+            (f.name, f.dataType) for f in want.schema
+        ]
+    merged = INC.merge_edge_state(loaded, INC.edge_state(d1))
+    assert _report_rows(merged) == _rebuilt(obs)
