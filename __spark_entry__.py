@@ -206,6 +206,7 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "kg_edge_history_incremental",
     "kg_fusion",
     "kg_conflicts",
+    "kg_type_violations",
 )
 _DRIVER_CAP = 50
 

@@ -1586,3 +1586,89 @@ KG_REGISTRY["kg_conflicts"] = QuerySpec(
     WHERE rn = 1 AND n_candidates >= 2
     """,
 )
+
+
+# kg_type_violations ---------------------------------------------------------
+#
+# Schema validation (SHACL-style domain/range constraints): every TACRED
+# relation has a declared subject and object entity type (the reference
+# hard-codes the pairing only implicitly, via its per-relation training
+# data — ref data/loader.py:60-74 maps types to ids but never validates
+# them).  A KG under construction validates extracted facts against the
+# ontology BEFORE fusion; violations are either extractor noise or NER
+# mis-typing and get quarantined, not loaded.  Shape: broadcast the
+# constraint table (one row per predicate) against the fact stream, one
+# map-side-combinable groupBy — zero fact-side shuffle beyond the agg.
+
+# Declared (domain, range) per predicate, from the public TACRED schema.
+TYPE_CONSTRAINTS = (
+    ("per:city_of_birth", "PERSON", "CITY"),
+    ("per:city_of_death", "PERSON", "CITY"),
+    ("per:cities_of_residence", "PERSON", "CITY"),
+    ("per:country_of_death", "PERSON", "COUNTRY"),
+    ("per:date_of_death", "PERSON", "DATE"),
+    ("per:title", "PERSON", "TITLE"),
+    ("per:employee_of", "PERSON", "ORGANIZATION"),
+    ("org:country_of_headquarters", "ORGANIZATION", "COUNTRY"),
+    ("org:dissolved", "ORGANIZATION", "DATE"),
+    ("org:members", "ORGANIZATION", "ORGANIZATION"),
+)
+
+
+def _kg_type_violations_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cons = spark.createDataFrame(
+        list(TYPE_CONSTRAINTS), "pred string, expected_subj string, expected_obj string"
+    )
+    t = spark.read.parquet(TRIPLES_PARQUET).select(
+        "subj", "subj_type", "pred", "obj", "obj_type"
+    )
+    j = t.join(F.broadcast(cons), "pred")
+    bad_dom = F.col("subj_type") != F.col("expected_subj")
+    bad_rng = F.col("obj_type") != F.col("expected_obj")
+    viol = (
+        F.when(bad_dom & bad_rng, F.lit("both"))
+        .when(bad_dom, F.lit("domain"))
+        .otherwise(F.lit("range"))
+    )
+    flagged = j.where(bad_dom | bad_rng).withColumn("violation", viol)
+    facts = flagged.select(
+        "pred", "subj_type", "obj_type", "violation",
+        "expected_subj", "expected_obj", "subj", "obj",
+    )
+    return (
+        facts.groupBy(
+            "pred", "subj_type", "obj_type", "violation",
+            "expected_subj", "expected_obj",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.countDistinct("subj", "obj").alias("n_facts"),
+        )
+    )
+
+
+KG_REGISTRY["kg_type_violations"] = QuerySpec(
+    spark=_kg_type_violations_spark,
+    oracle=f"""
+    WITH cons(pred, expected_subj, expected_obj) AS (
+      VALUES {", ".join(f"('{p}', '{d}', '{r}')" for p, d, r in TYPE_CONSTRAINTS)}
+    ),
+    flagged AS (
+      SELECT t.pred, t.subj_type, t.obj_type,
+             CASE WHEN t.subj_type <> c.expected_subj
+                   AND t.obj_type <> c.expected_obj THEN 'both'
+                  WHEN t.subj_type <> c.expected_subj THEN 'domain'
+                  ELSE 'range' END AS violation,
+             c.expected_subj, c.expected_obj, t.subj, t.obj
+      FROM read_parquet('{TRIPLES_PARQUET}') t
+      JOIN cons c ON c.pred = t.pred
+      WHERE t.subj_type <> c.expected_subj OR t.obj_type <> c.expected_obj
+    )
+    SELECT pred, subj_type, obj_type, violation,
+           expected_subj, expected_obj,
+           COUNT(*) AS n_obs,
+           COUNT(DISTINCT (subj, obj)) AS n_facts
+    FROM flagged
+    GROUP BY pred, subj_type, obj_type, violation, expected_subj, expected_obj
+    """,
+)
