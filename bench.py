@@ -299,6 +299,14 @@ def run_graph_bench(spark: SparkSession) -> dict[str, float]:
                 spark, SF_DIR, triples=triples
             )
         ),
+        # r6: knowledge fusion (noisy-or belief per fact) and functional-
+        # predicate conflict resolution over the same corpus-sized triples
+        "kg_fusion": timed(
+            lambda: KQ._kg_fusion_spark(spark, SF_DIR, triples=triples)
+        ),
+        "kg_conflicts": timed(
+            lambda: KQ._kg_conflicts_spark(spark, SF_DIR, triples=triples)
+        ),
     }
 
 

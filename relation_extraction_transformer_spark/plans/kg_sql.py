@@ -1475,12 +1475,14 @@ FUNCTIONAL_PREDS = (
 )
 
 
-def _fused_triples(spark: SparkSession) -> DataFrame:
+def _fused_triples(
+    spark: SparkSession, triples: DataFrame | None = None
+) -> DataFrame:
     """Per distinct (subj, pred, obj): observation count, source-url
     breadth, and the noisy-or fused score as an exact DECIMAL."""
-    obs = spark.read.parquet(TRIPLES_PARQUET).select(
-        "subj", "pred", "obj", "url", "prob"
-    )
+    if triples is None:
+        triples = spark.read.parquet(TRIPLES_PARQUET)
+    obs = triples.select("subj", "pred", "obj", "url", "prob")
     nl = F.round(
         F.log(F.lit(1.0) - F.least(F.col("prob"), F.lit(0.999999))), 6
     ).cast("decimal(18,6)")
@@ -1510,8 +1512,10 @@ _FUSED_SQL = f"""
     )"""
 
 
-def _kg_fusion_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fused_triples(spark).select(
+def _kg_fusion_spark(
+    spark: SparkSession, sf_dir: str, triples: DataFrame | None = None
+) -> DataFrame:
+    return _fused_triples(spark, triples).select(
         "subj", "pred", "obj", "n_obs", "n_urls",
         F.col("score_dec").cast("double").alias("fused_score"),
     )
@@ -1528,7 +1532,9 @@ KG_REGISTRY["kg_fusion"] = QuerySpec(
 )
 
 
-def _kg_conflicts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_conflicts_spark(
+    spark: SparkSession, sf_dir: str, triples: DataFrame | None = None
+) -> DataFrame:
     """Truth discovery for functional predicates: among contradicting
     objects for one (subj, pred), keep the fused-score winner and report
     its margin over the runner-up.  One partitioned window over the
@@ -1541,7 +1547,7 @@ def _kg_conflicts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wp = Window.partitionBy("subj", "pred")
     return (
-        _fused_triples(spark)
+        _fused_triples(spark, triples)
         .where(F.col("pred").isin(*FUNCTIONAL_PREDS))
         .withColumn("rn", F.row_number().over(w))
         .withColumn("runner_dec", F.lead("score_dec", 1).over(w))
