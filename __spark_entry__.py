@@ -207,6 +207,7 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "kg_fusion",
     "kg_conflicts",
     "kg_type_violations",
+    "kg_ntriples",
 )
 _DRIVER_CAP = 50
 

@@ -1678,3 +1678,43 @@ KG_REGISTRY["kg_type_violations"] = QuerySpec(
     GROUP BY pred, subj_type, obj_type, violation, expected_subj, expected_obj
     """,
 )
+
+
+# kg_ntriples ----------------------------------------------------------------
+
+
+def _kg_ntriples_spark(
+    spark: SparkSession, sf_dir: str, triples: DataFrame | None = None
+) -> DataFrame:
+    """KG publish step: distinct extracted facts serialized as RDF
+    N-Triples statements (functions/rdf.py) — a pure JVM map stage over
+    the distinct-fact aggregation, bytes identical in both engines."""
+    from ..functions import rdf as R
+
+    if triples is None:
+        triples = spark.read.parquet(TRIPLES_PARQUET)
+    facts = triples.select("subj", "pred", "obj").distinct()
+    return facts.select(
+        R.ntriple_line(
+            F.col("subj"), F.col("pred"), F.col("obj")
+        ).alias("ntriple")
+    )
+
+
+def _kg_ntriples_oracle() -> str:
+    from ..functions import rdf as R
+
+    return f"""
+    WITH facts AS (
+      SELECT DISTINCT subj, pred, obj
+      FROM read_parquet('{TRIPLES_PARQUET}')
+    )
+    SELECT {R.duck_ntriple_sql("subj", "pred", "obj")} AS ntriple
+    FROM facts
+    """
+
+
+KG_REGISTRY["kg_ntriples"] = QuerySpec(
+    spark=_kg_ntriples_spark,
+    oracle=_kg_ntriples_oracle(),
+)
