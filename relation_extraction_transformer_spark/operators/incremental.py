@@ -47,18 +47,37 @@ EDGE_KEYS = ["subj", "pred", "obj"]
 class EdgeState(NamedTuple):
     """Mergeable rollup state: per-edge stats + per-edge url registers."""
 
-    stats: DataFrame  # subj, pred, obj, n_obs, first_seen, last_seen, max_prob
+    # subj, pred, obj, n_obs, first_seen, last_seen, max_prob, score_dec
+    stats: DataFrame
     regs: DataFrame  # subj, pred, obj, bucket, rho
+
+
+# sums of per-delta DECIMAL(18,6) sums; 28,6 holds ~10^22 observations
+_SCORE_DEC = "decimal(28,6)"
 
 
 def edge_state(obs: DataFrame) -> EdgeState:
     """Fold one observation delta — rows of
-    ``(subj, pred, obj, url, prob, ts)`` — into edge-rollup state."""
-    stats = obs.groupBy(*EDGE_KEYS).agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.min("ts").alias("first_seen"),
-        F.max("ts").alias("last_seen"),
-        F.max("prob").alias("max_prob"),
+    ``(subj, pred, obj, url, prob, ts)`` — into edge-rollup state.
+
+    ``score_dec`` is the noisy-or fused belief (kg_sql's kg_fusion
+    formula: -sum of ROUND(ln(1-p), 6) quantized to DECIMAL) — a plain
+    sum, so fusion itself is incrementally maintainable; the DECIMAL
+    type is pinned so merged and rebuilt states carry identical
+    schemas."""
+    nl = F.round(
+        F.log(F.lit(1.0) - F.least(F.col("prob"), F.lit(0.999999))), 6
+    ).cast("decimal(18,6)")
+    stats = (
+        obs.withColumn("nl", nl)
+        .groupBy(*EDGE_KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.max("prob").alias("max_prob"),
+            (-F.sum("nl")).cast(_SCORE_DEC).alias("score_dec"),
+        )
     )
     regs = SK.hll_registers_by(obs, EDGE_KEYS, "url")
     return EdgeState(stats, regs)
@@ -67,8 +86,9 @@ def edge_state(obs: DataFrame) -> EdgeState:
 def merge_edge_state(a: EdgeState, b: EdgeState) -> EdgeState:
     """state(d1) ⊕ state(d2): field-wise SUM/MIN/MAX on the stats,
     element-wise register MAX on the sketches.  Exact merge==rebuild for
-    disjoint observation deltas (n_obs is a sum; everything else is also
-    idempotent, so re-delivered deltas only ever inflate n_obs)."""
+    disjoint observation deltas; n_obs and score_dec are sums, so a
+    RE-delivered (non-disjoint) delta inflates exactly those two — every
+    other field is idempotent."""
     stats = (
         a.stats.unionAll(b.stats)
         .groupBy(*EDGE_KEYS)
@@ -77,6 +97,7 @@ def merge_edge_state(a: EdgeState, b: EdgeState) -> EdgeState:
             F.min("first_seen").alias("first_seen"),
             F.max("last_seen").alias("last_seen"),
             F.max("max_prob").alias("max_prob"),
+            F.sum("score_dec").cast(_SCORE_DEC).alias("score_dec"),
         )
     )
     regs = (
@@ -119,6 +140,7 @@ def edge_report(state: EdgeState) -> DataFrame:
             "first_seen",
             "last_seen",
             F.round(F.col("max_prob"), 6).alias("max_prob"),
+            F.col("score_dec").cast("double").alias("fused_score"),
             F.col("est_hll").alias("est_urls"),
         )
     )

@@ -1428,11 +1428,14 @@ def _edge_history_incremental_oracle() -> str:
              COUNT(*) AS n_obs,
              MIN(ts) AS first_seen,
              MAX(ts) AS last_seen,
-             ROUND(MAX(prob), 6) AS max_prob
+             ROUND(MAX(prob), 6) AS max_prob,
+             -SUM(CAST(ROUND(ln(1 - LEAST(prob, 0.999999)), 6)
+                       AS DECIMAL(18,6))) AS score_dec
       FROM obs GROUP BY subj, pred, obj
     )
     SELECT s.subj, s.pred, s.obj, s.n_obs, s.first_seen, s.last_seen,
-           s.max_prob, e.est_hll AS est_urls
+           s.max_prob, CAST(s.score_dec AS DOUBLE) AS fused_score,
+           e.est_hll AS est_urls
     FROM stats s
     JOIN hll_by_est e
       ON e.subj = s.subj AND e.pred = s.pred AND e.obj = s.obj

@@ -61,21 +61,23 @@ def test_merge_is_commutative_and_associative(spark):
     assert _report_rows(ab_c) == _report_rows(c_ba)
 
 
-def test_redelivered_delta_is_idempotent_except_n_obs(spark):
+def test_redelivered_delta_is_idempotent_except_sums(spark):
     """Folding the same delta twice must not move first/last_seen,
-    max_prob, or any url register (max is idempotent); only n_obs — a
-    sum over what are contractually disjoint deltas — double-counts."""
+    max_prob, or any url register (max is idempotent); only the two sums
+    over what are contractually disjoint deltas — n_obs and the fused
+    score — double-count, and they double EXACTLY (DECIMAL sums)."""
     obs = _obs_df(spark)
     once = INC.edge_state(obs)
     twice = INC.merge_edge_state(once, INC.edge_state(obs))
+    # report tuple: (*keys, n_obs, first, last, max_prob, fused, est)
     r1 = {t[:3]: t[3:] for t in _report_rows(once)}
     r2 = {t[:3]: t[3:] for t in _report_rows(twice)}
     assert r1.keys() == r2.keys()
     for k in r1:
-        n1, *rest1 = r1[k]
-        n2, *rest2 = r2[k]
-        assert n2 == 2 * n1
-        assert rest1 == rest2
+        (n1, f1, l1, m1, s1, e1) = r1[k]
+        (n2, f2, l2, m2, s2, e2) = r2[k]
+        assert n2 == 2 * n1 and s2 == 2 * s1
+        assert (f1, l1, m1, e1) == (f2, l2, m2, e2)
     regs_once = sorted(map(tuple, once.regs.collect()))
     regs_twice = sorted(map(tuple, twice.regs.collect()))
     assert regs_once == regs_twice
