@@ -269,3 +269,52 @@ def test_khop_seed_pick_and_frontier_joins_are_scale_shaped(spark):
     assert "InMemoryTableScan" in plan, "edge cache must back each round"
     assert "BroadcastHashJoin" in plan, "frontier side must broadcast"
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_fusion_and_conflicts_plans_are_scale_shaped(spark):
+    """kg_fusion: pruned scan + partial aggregation before the edge-key
+    shuffle.  kg_conflicts: the window runs partitioned by (subj, pred)
+    — never an Exchange SinglePartition (a global window would funnel
+    every candidate fact through one task)."""
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    fusion = _plan(KQ._kg_fusion_spark(spark, ""))
+    assert "BatchEvalPython" not in fusion and "MapInPandas" not in fusion
+    scan = [l for l in fusion.splitlines() if "ReadSchema" in l][0]
+    read = scan.split("ReadSchema")[1]
+    assert "subj_type" not in read and "sent_id" not in read, (
+        f"fusion must prune unused columns: {read}"
+    )
+    assert "partial_count" in fusion, "map-side combine before the shuffle"
+
+    conflicts = _plan(KQ._kg_conflicts_spark(spark, ""))
+    assert "SinglePartition" not in conflicts, (
+        "conflict window must stay partitioned by (subj, pred)"
+    )
+    assert "BatchEvalPython" not in conflicts
+
+
+def test_type_violations_broadcasts_the_constraint_table(spark):
+    """The 10-row ontology joins broadcast against the fact stream —
+    zero fact-side Exchange before the aggregation."""
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    plan = _plan(KQ._kg_type_violations_spark(spark, ""))
+    assert "BroadcastHashJoin" in plan, "constraint join must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ntriples_serialization_plan(spark):
+    """Serialization is JVM string expressions over the distinct-fact
+    aggregation: exactly the distinct's shuffle, nothing Python-side,
+    scan pruned to the three fact columns."""
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    plan = _plan(KQ._kg_ntriples_spark(spark, ""))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    read = scan.split("ReadSchema")[1]
+    assert "prob" not in read and "url" not in read, (
+        f"export must prune to subj/pred/obj: {read}"
+    )
