@@ -108,6 +108,39 @@ def merge_edge_state(a: EdgeState, b: EdgeState) -> EdgeState:
     return EdgeState(stats, regs)
 
 
+def conflicts_from_stats(stats: DataFrame, preds: tuple[str, ...]) -> DataFrame:
+    """Functional-predicate conflict resolution over any frame carrying
+    ``(subj, pred, obj, n_obs, score_dec)`` — the single implementation
+    behind both the registered ``kg_conflicts`` query (fed by the
+    full-corpus fusion aggregation) and the 24/7 path (fed by STANDING
+    EdgeState.stats, so conflicts re-resolve after each fold-in without
+    re-reading any raw crawl).  Partitioned window only — never a
+    SinglePartition exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.col("score_dec").desc(), F.col("n_obs").desc(), F.col("obj").asc()
+    )
+    wp = Window.partitionBy("subj", "pred")
+    return (
+        stats.where(F.col("pred").isin(*preds))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("runner_dec", F.lead("score_dec", 1).over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wp))
+        .withColumn("total_obs", F.sum("n_obs").over(wp))
+        .where((F.col("rn") == 1) & (F.col("n_candidates") >= 2))
+        .select(
+            "subj", "pred",
+            F.col("obj").alias("winner_obj"),
+            F.col("n_obs").alias("winner_obs"),
+            "n_candidates", "total_obs",
+            F.col("score_dec").cast("double").alias("winner_score"),
+            (F.col("score_dec") - F.col("runner_dec"))
+            .cast("double").alias("margin"),
+        )
+    )
+
+
 def write_edge_state(state: EdgeState, path: str, mode: str = "overwrite") -> None:
     """Persist standing state as two parquet datasets (``stats/`` and
     ``regs/``) — the durable handoff between daily fold-in jobs.  Both

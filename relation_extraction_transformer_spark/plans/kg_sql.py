@@ -1542,30 +1542,13 @@ def _kg_conflicts_spark(
     objects for one (subj, pred), keep the fused-score winner and report
     its margin over the runner-up.  One partitioned window over the
     already-fused (vocabulary-sized per key) candidate table — the heavy
-    lifting stays in the fusion aggregation."""
-    from pyspark.sql import Window
+    lifting stays in the fusion aggregation.  The window itself lives in
+    operators/incremental.py::conflicts_from_stats so the 24/7 fold-in
+    path resolves conflicts off STANDING state with the same code."""
+    from ..operators.incremental import conflicts_from_stats
 
-    w = Window.partitionBy("subj", "pred").orderBy(
-        F.col("score_dec").desc(), F.col("n_obs").desc(), F.col("obj").asc()
-    )
-    wp = Window.partitionBy("subj", "pred")
-    return (
-        _fused_triples(spark, triples)
-        .where(F.col("pred").isin(*FUNCTIONAL_PREDS))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("runner_dec", F.lead("score_dec", 1).over(w))
-        .withColumn("n_candidates", F.count(F.lit(1)).over(wp))
-        .withColumn("total_obs", F.sum("n_obs").over(wp))
-        .where((F.col("rn") == 1) & (F.col("n_candidates") >= 2))
-        .select(
-            "subj", "pred",
-            F.col("obj").alias("winner_obj"),
-            F.col("n_obs").alias("winner_obs"),
-            "n_candidates", "total_obs",
-            F.col("score_dec").cast("double").alias("winner_score"),
-            (F.col("score_dec") - F.col("runner_dec"))
-            .cast("double").alias("margin"),
-        )
+    return conflicts_from_stats(
+        _fused_triples(spark, triples), FUNCTIONAL_PREDS
     )
 
 
