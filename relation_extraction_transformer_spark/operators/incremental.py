@@ -159,6 +159,69 @@ def read_edge_state(spark: SparkSession, path: str) -> EdgeState:
     )
 
 
+def latest_version(state_dir: str) -> int:
+    """Current state version per the ``LATEST`` marker (0 = no state)."""
+    marker = os.path.join(state_dir, "LATEST")
+    if not os.path.exists(marker):
+        return 0
+    return int(open(marker).read().strip())
+
+
+def fold_pages_delta(
+    spark: SparkSession,
+    pages: DataFrame,
+    state_dir: str,
+    version: int | None = None,
+) -> dict:
+    """Fold one crawl delta of pages into the standing state under
+    ``state_dir``: extract triples (the audited narrow batch plan), fold
+    into delta state, merge with the persisted standing version, write
+    ``v<version>`` and flip the ``LATEST`` marker.
+
+    Versioning makes the fold replay-safe: a caller that derives
+    ``version`` from a durable sequence (e.g. a Structured Streaming
+    ``batch_id``) gets exactly-once state even when the framework
+    re-delivers a batch after a crash — an already-written version is
+    skipped, and LATEST only ever moves forward.  Left at ``None``, the
+    version is simply LATEST+1 (the batch-job path).
+    """
+    from ..plans import pipeline as PL
+
+    cur = latest_version(state_dir)
+    if version is None:
+        version = cur + 1
+    new_dir = os.path.join(state_dir, f"v{version}")
+    # a version counts as written only when BOTH datasets committed
+    replayed = all(
+        os.path.exists(os.path.join(new_dir, d, "_SUCCESS"))
+        for d in ("stats", "regs")
+    )
+    if not replayed:
+        triples = PL.triples_plan(pages, spark, keep_probs=False)
+        obs = triples.select("url", "subj", "pred", "obj", "prob").join(
+            pages.select(
+                "url",
+                F.unix_timestamp("warc_ts").cast("bigint").alias("ts"),
+            ),
+            "url",
+        )
+        delta = edge_state(obs)
+        if cur > 0:
+            standing = read_edge_state(
+                spark, os.path.join(state_dir, f"v{cur}")
+            )
+            delta = merge_edge_state(standing, delta)
+        write_edge_state(delta, new_dir)
+    if version > cur:
+        with open(os.path.join(state_dir, "LATEST"), "w") as fh:
+            fh.write(str(version))
+    return {
+        "state_version": version,
+        "bootstrap": cur == 0,
+        "replayed": replayed,
+    }
+
+
 def edge_report(state: EdgeState) -> DataFrame:
     """Human-facing rollup: stats + the per-edge distinct-url estimate
     from the register state.  Per-edge url counts are tiny relative to

@@ -122,3 +122,50 @@ def streaming_hll_registers(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     return SK.hll_registers(toks, "tok")
+
+
+def run_streaming_edge_fold(
+    spark: SparkSession,
+    pages_dir: str,
+    state_dir: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 8,
+    once: bool = True,
+):
+    """Always-on KG maintenance: each micro-batch of crawled pages folds
+    into the standing per-edge rollup state (operators/incremental.py)
+    via ``foreachBatch`` — the streaming form of scripts/maintain_kg.py.
+
+    Exactly-once state: the fold version is derived from the durable
+    streaming ``batch_id``, so a batch re-delivered after a crash finds
+    its version already committed and is skipped
+    (``fold_pages_delta``'s replay check); Spark's offset checkpoint
+    guarantees batch ids are stable across restarts.  State size is
+    bounded per edge no matter how long the stream runs — the property
+    that makes a 24/7 rollup viable where re-aggregating crawl history
+    per trigger is not.
+
+    The stream owns ``state_dir``: versions are ``batch_id + 1`` from a
+    fresh bootstrap, so do not point it at a directory already advanced
+    by the batch script (those versions would read as replays)."""
+    from ..operators import incremental as INC
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        INC.fold_pages_delta(
+            spark, batch_df, state_dir, version=int(batch_id) + 1
+        )
+
+    writer = pages.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        return q
+    return writer.start()

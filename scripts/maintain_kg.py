@@ -45,62 +45,34 @@ sys.path.insert(
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 
-def _latest_version(state_dir: str) -> int:
-    marker = os.path.join(state_dir, "LATEST")
-    if not os.path.exists(marker):
-        return 0
-    return int(open(marker).read().strip())
-
-
 def maintain(spark, pages, state_dir: str):
     """Fold one pages delta into the standing state at ``state_dir``.
 
     Returns ``(report, conflicts, summary)`` — the refreshed rollup and
     conflict DataFrames (both derived from the new state version) plus a
-    JSON-able summary of the fold.
+    JSON-able summary of the fold.  The fold/persist core lives in
+    operators/incremental.py::fold_pages_delta (shared with the
+    Structured Streaming path).
     """
-    from pyspark.sql import functions as F
-
     from relation_extraction_transformer_spark.operators import (
         incremental as INC,
     )
     from relation_extraction_transformer_spark.plans import kg_sql as KQ
-    from relation_extraction_transformer_spark.plans import pipeline as PL
 
-    triples = PL.triples_plan(pages, spark, keep_probs=False)
-    obs = triples.select("url", "subj", "pred", "obj", "prob").join(
-        pages.select(
-            "url", F.unix_timestamp("warc_ts").cast("bigint").alias("ts")
-        ),
-        "url",
-    )
-    delta = INC.edge_state(obs)
-
-    ver = _latest_version(state_dir)
-    if ver > 0:
-        standing = INC.read_edge_state(
-            spark, os.path.join(state_dir, f"v{ver}")
-        )
-        state = INC.merge_edge_state(standing, delta)
-    else:
-        state = delta
-
-    new_dir = os.path.join(state_dir, f"v{ver + 1}")
-    INC.write_edge_state(state, new_dir)
-    with open(os.path.join(state_dir, "LATEST"), "w") as fh:
-        fh.write(str(ver + 1))
+    summary = INC.fold_pages_delta(spark, pages, state_dir)
 
     # everything user-facing comes off the persisted state — the raw
     # delta (and every older crawl) is out of the picture from here on
-    state = INC.read_edge_state(spark, new_dir)
+    state = INC.read_edge_state(
+        spark, os.path.join(state_dir, f"v{summary['state_version']}")
+    )
     report = INC.edge_report(state)
     conflicts = INC.conflicts_from_stats(state.stats, KQ.FUNCTIONAL_PREDS)
-    summary = {
-        "state_version": ver + 1,
-        "bootstrap": ver == 0,
-        "edges": state.stats.count(),
-        "conflicted_keys": conflicts.count(),
-    }
+    summary = dict(
+        summary,
+        edges=state.stats.count(),
+        conflicted_keys=conflicts.count(),
+    )
     return report, conflicts, summary
 
 

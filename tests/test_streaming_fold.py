@@ -1,0 +1,56 @@
+"""Streaming KG maintenance: foreachBatch fold-in over micro-batches
+must land on exactly the single-pass batch rebuild, and a re-delivered
+batch must be a no-op (exactly-once via durable batch-id versions)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from relation_extraction_transformer_spark.operators import incremental as INC
+from relation_extraction_transformer_spark.plans import pipeline as PL
+from relation_extraction_transformer_spark.streaming import stream as ST
+
+PAGES = "/root/repo/artifacts/kg_pages.parquet"
+
+
+def _obs(spark, pages):
+    triples = PL.triples_plan(pages, spark, keep_probs=False)
+    return triples.select("url", "subj", "pred", "obj", "prob").join(
+        pages.select(
+            "url", F.unix_timestamp("warc_ts").cast("bigint").alias("ts")
+        ),
+        "url",
+    )
+
+
+def test_streamed_fold_equals_batch_rebuild_and_replay_is_noop(
+    spark, tmp_path
+):
+    pages = spark.read.parquet(PAGES)
+    pages_dir = str(tmp_path / "pages")
+    pages.repartition(4).write.parquet(pages_dir)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+
+    ST.run_streaming_edge_fold(
+        spark, pages_dir, state_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,  # forces >= 2 micro-batches
+    )
+    n_versions = INC.latest_version(state_dir)
+    assert n_versions >= 2, "expected multiple micro-batches"
+
+    final = INC.read_edge_state(spark, f"{state_dir}/v{n_versions}")
+    streamed = sorted(map(tuple, INC.edge_report(final).collect()))
+    rebuilt = sorted(
+        map(tuple, INC.edge_report(INC.edge_state(_obs(spark, pages))).collect())
+    )
+    assert streamed == rebuilt
+
+    # crash-replay of the last batch: version already committed -> no-op
+    summary = INC.fold_pages_delta(
+        spark, pages, state_dir, version=n_versions
+    )
+    assert summary["replayed"] is True
+    after = INC.read_edge_state(spark, f"{state_dir}/v{n_versions}")
+    assert sorted(map(tuple, INC.edge_report(after).collect())) == streamed
