@@ -208,6 +208,7 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "kg_conflicts",
     "kg_type_violations",
     "kg_ntriples",
+    "kg_communities",
 )
 _DRIVER_CAP = 50
 

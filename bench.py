@@ -307,6 +307,14 @@ def run_graph_bench(spark: SparkSession) -> dict[str, float]:
         "kg_conflicts": timed(
             lambda: KQ._kg_conflicts_spark(spark, SF_DIR, triples=triples)
         ),
+        # r6: synchronous label-propagation communities (5 rounds) and
+        # the N-Triples publish map over the distinct fact set
+        "kg_communities": timed(
+            lambda: KQ._kg_communities_spark(spark, SF_DIR, triples=triples)
+        ),
+        "kg_ntriples": timed(
+            lambda: KQ._kg_ntriples_spark(spark, SF_DIR, triples=triples)
+        ),
     }
 
 

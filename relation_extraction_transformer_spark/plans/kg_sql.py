@@ -1704,3 +1704,106 @@ KG_REGISTRY["kg_ntriples"] = QuerySpec(
     spark=_kg_ntriples_spark,
     oracle=_kg_ntriples_oracle(),
 )
+
+
+# kg_communities -------------------------------------------------------------
+
+_LPA_ROUNDS = 5
+
+
+def _kg_communities_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    triples: DataFrame | None = None,
+    n_rounds: int = _LPA_ROUNDS,
+) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) over the undirected entity graph — denser-than-
+    connectivity structure (WCC finds islands; LPA finds neighborhoods
+    inside them).  Each round every node adopts its neighbors' majority
+    label, ties to the smallest label; synchronous updates + the
+    deterministic tie-break make the result exact across engines and
+    partitionings (asynchronous LPA is run-order dependent — useless as
+    an oracle-checked operator).
+
+    Scale shape: per round one edge⋈label join (both sides hash-
+    partitioned on the join key) and two map-side-combinable groupBys;
+    the label frame is localCheckpoint-ed every round so plan depth
+    stays constant at any round count (the kg_kcore/k-hop discipline).
+    The winner pick is a groupBy MIN over a (neg-count, label) struct —
+    never a SinglePartition window."""
+    und = _und_edges(spark, triples)
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(n_rounds):
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), "label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            nb.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label"),
+                    )
+                ).alias("w")
+            )
+            .select("node", F.col("w.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def _communities_oracle(n_rounds: int = _LPA_ROUNDS) -> str:
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT s.src AS node, l.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.src
+                 ORDER BY COUNT(*) DESC, l.label ASC
+               ) AS rn
+        FROM sym s JOIN l{i - 1} l ON l.node = s.dst
+        GROUP BY s.src, l.label
+      ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM read_parquet('{TRIPLES_PARQUET}')
+      WHERE subj <> obj
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL
+      SELECT b AS src, a AS dst FROM und
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM sym
+    ),{",".join(rounds)}
+    SELECT node, label AS community FROM l{n_rounds}
+    """
+
+
+KG_REGISTRY["kg_communities"] = QuerySpec(
+    spark=_kg_communities_spark,
+    oracle=_communities_oracle(),
+)

@@ -556,3 +556,80 @@ def test_wcc_matches_python_union_find(spark):
     }
     got = {r.node: r.component for r in KQ._kg_wcc_spark(spark, "").collect()}
     assert got == want
+
+
+# --- kg_communities: synchronous label propagation --------------------------
+
+
+def _lpa_python(edges, n_rounds=5):
+    """Independent synchronous LPA: neighbor-majority, ties to min label."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    labels = {v: v for v in adj}
+    for _ in range(n_rounds):
+        new = {}
+        for v, nbs in adj.items():
+            cnt = collections.Counter(labels[u] for u in nbs)
+            best = min(((-c, l) for l, c in cnt.items()))
+            new[v] = best[1]
+        labels = new
+    return labels
+
+
+def _communities(spark, rows, n_rounds=5):
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    tri = spark.createDataFrame(
+        [(s, "p", o) for s, o in rows], "subj string, pred string, obj string"
+    )
+    return {
+        r.node: r.community
+        for r in KQ._kg_communities_spark(
+            spark, "", triples=tri, n_rounds=n_rounds
+        ).collect()
+    }
+
+
+def test_lpa_splits_planted_clusters_and_matches_independent_impl(spark):
+    """Two 5-cliques joined by one bridge edge: LPA must keep them as
+    two communities, exactly matching the independent Python LPA."""
+    import itertools
+
+    ca = [f"a{i}" for i in range(5)]
+    cb = [f"b{i}" for i in range(5)]
+    edges = (
+        list(itertools.combinations(ca, 2))
+        + list(itertools.combinations(cb, 2))
+        + [("a0", "b0")]
+    )
+    got = _communities(spark, edges)
+    assert got == _lpa_python(edges)
+    assert len({got[v] for v in ca}) == 1
+    assert len({got[v] for v in cb}) == 1
+    assert got["a1"] != got["b1"], "bridged cliques must stay separate"
+
+
+def test_lpa_matches_independent_impl_on_artifact_graph(spark):
+    """Round-for-round parity with the Python implementation on the
+    real frozen entity graph, and partition invariance."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    und = KQ._und_edges(spark)
+    edges = [(r.a, r.b) for r in und.collect()]
+    want = _lpa_python(edges, n_rounds=3)
+    tri = spark.read.parquet(KQ.TRIPLES_PARQUET)
+    for parts in (None, 7):
+        t = tri if parts is None else tri.repartition(parts)
+        got = {
+            r.node: r.community
+            for r in KQ._kg_communities_spark(
+                spark, "", triples=t, n_rounds=3
+            ).collect()
+        }
+        assert got == want
