@@ -197,6 +197,15 @@ def fold_pages_delta(
         for d in ("stats", "regs")
     )
     if not replayed:
+        if version <= cur:
+            # an unwritten version at-or-below LATEST is a misuse (e.g.
+            # a fresh stream pointed at a batch-advanced state dir):
+            # folding it would merge against a LATER state.  Replays of
+            # committed versions are handled above; reject the rest.
+            raise ValueError(
+                f"version {version} <= LATEST {cur} but v{version} was "
+                f"never committed; use a fresh state_dir for this source"
+            )
         triples = PL.triples_plan(pages, spark, keep_probs=False)
         obs = triples.select("url", "subj", "pred", "obj", "prob").join(
             pages.select(

@@ -54,3 +54,21 @@ def test_streamed_fold_equals_batch_rebuild_and_replay_is_noop(
     assert summary["replayed"] is True
     after = INC.read_edge_state(spark, f"{state_dir}/v{n_versions}")
     assert sorted(map(tuple, INC.edge_report(after).collect())) == streamed
+
+
+def test_unwritten_out_of_order_version_is_rejected(spark, tmp_path):
+    """A fresh (never-committed) version at-or-below LATEST must raise —
+    folding it would merge against a later state."""
+    import pytest
+
+    pages = spark.read.parquet(PAGES)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    INC.fold_pages_delta(spark, pages, state_dir)  # v1
+    INC.fold_pages_delta(spark, pages, state_dir)  # v2
+    # simulate an uncommitted v1: remove it, then ask to fold v1 again
+    import shutil
+
+    shutil.rmtree(os.path.join(state_dir, "v1"))
+    with pytest.raises(ValueError, match="never committed"):
+        INC.fold_pages_delta(spark, pages, state_dir, version=1)
