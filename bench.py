@@ -318,6 +318,39 @@ def run_graph_bench(spark: SparkSession) -> dict[str, float]:
     }
 
 
+def run_incremental_bench(spark: SparkSession) -> float:
+    """Steady-state cost of the 24/7 maintenance loop: bootstrap the
+    standing state from half the 4x pages corpus, then time the OTHER
+    half's fold — extract + delta state + merge with standing + versioned
+    persist + refreshed report — i.e. one full daily cycle
+    (operators/incremental.py::fold_pages_delta).  The point of the
+    number: the fold's wall tracks the DELTA size, not total history."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from relation_extraction_transformer_spark.operators import (
+        incremental as INC,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH_KG)
+    parity = F.crc32("url") % 2
+    day1, day2 = pages.where(parity == 0), pages.where(parity == 1)
+
+    state_dir = tempfile.mkdtemp(prefix="ret_bench_state_")
+    try:
+        INC.fold_pages_delta(spark, day1, state_dir)  # bootstrap (warm)
+        t0 = time.perf_counter()
+        s = INC.fold_pages_delta(spark, day2, state_dir)
+        INC.edge_report(
+            INC.read_edge_state(spark, f"{state_dir}/v{s['state_version']}")
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def run_html_extract_bench(spark: SparkSession) -> dict:
     """Throughput of the general real-HTML extractor (round 5:
     functions/html_text.py scanner in an Arrow pandas UDF) vs the JVM
@@ -563,6 +596,7 @@ def main() -> None:
     triples_per_sec = round(n_triples / kg_sec, 1)
 
     timings.update(run_graph_bench(spark))
+    timings["incremental_fold"] = run_incremental_bench(spark)
 
     skew = run_skew_bench(spark)
     skew_join = run_skew_join_bench(spark)
