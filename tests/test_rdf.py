@@ -85,3 +85,29 @@ def test_serialization_is_jvm_only(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_round_trip_fuzz(spark):
+    """Hypothesis fuzz: any printable-ASCII entity/pred surfaces survive
+    serialize -> regex-parse -> unquote exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    surface = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(surface, surface, surface)
+    def _check(s, p, o):
+        line = _serialize(spark, [(s, p, o)])[0]
+        m = re.fullmatch(r"<([^>]*)> <([^>]*)> <([^>]*)> \.", line)
+        assert m, line
+        su, pu, ou = (urllib.parse.unquote(g) for g in m.groups())
+        assert (su, pu, ou) == (
+            R.ENTITY_NS + s, R.REL_NS + p, R.ENTITY_NS + o
+        )
+
+    _check()
