@@ -209,6 +209,7 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "kg_type_violations",
     "kg_ntriples",
     "kg_communities",
+    "kg_entity_profiles",
 )
 _DRIVER_CAP = 50
 

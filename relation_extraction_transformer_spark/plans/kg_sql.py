@@ -1807,3 +1807,93 @@ KG_REGISTRY["kg_communities"] = QuerySpec(
     spark=_kg_communities_spark,
     oracle=_communities_oracle(),
 )
+
+
+# kg_entity_profiles ---------------------------------------------------------
+
+
+def _kg_entity_profiles_spark(
+    spark: SparkSession, sf_dir: str, triples: DataFrame | None = None
+) -> DataFrame:
+    """Entity cards — the per-entity summary a KG front end serves: how
+    many distinct facts the entity heads (out) and fills (in), total
+    supporting observations, and its best-attested fact by fused score
+    (deterministic ties: pred then obj ascending).  Pure-object entities
+    carry empty-string/0 placeholders so the frame is dense cross-engine
+    (no NULL-ordering hazards).  Shape: three aggregations of the fused
+    fact table + one partitioned window, all keyed on the entity —
+    nothing wider than the fusion groupBy itself."""
+    from pyspark.sql import Window
+
+    fused = _fused_triples(spark, triples)
+    out = fused.groupBy(F.col("subj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("out_facts"),
+        F.sum("n_obs").alias("n_obs_out"),
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.col("score_dec").desc(), F.col("pred").asc(), F.col("obj").asc()
+    )
+    top = (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("subj").alias("entity"),
+            F.col("pred").alias("top_pred"),
+            F.col("obj").alias("top_obj"),
+            F.col("score_dec").cast("double").alias("top_score"),
+        )
+    )
+    inn = fused.groupBy(F.col("obj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("in_facts")
+    )
+    return (
+        out.join(top, "entity")
+        .join(inn, "entity", "full_outer")
+        .select(
+            "entity",
+            F.coalesce("out_facts", F.lit(0)).alias("out_facts"),
+            F.coalesce("in_facts", F.lit(0)).alias("in_facts"),
+            F.coalesce("n_obs_out", F.lit(0)).alias("n_obs_out"),
+            F.coalesce("top_pred", F.lit("")).alias("top_pred"),
+            F.coalesce("top_obj", F.lit("")).alias("top_obj"),
+            F.coalesce("top_score", F.lit(0.0)).alias("top_score"),
+        )
+    )
+
+
+KG_REGISTRY["kg_entity_profiles"] = QuerySpec(
+    spark=_kg_entity_profiles_spark,
+    oracle=f"""
+    WITH {_FUSED_SQL.strip()},
+    outs AS (
+      SELECT subj AS entity, COUNT(*) AS out_facts,
+             CAST(SUM(n_obs) AS BIGINT) AS n_obs_out
+      FROM fused GROUP BY subj
+    ),
+    tops AS (
+      SELECT entity, top_pred, top_obj, top_score FROM (
+        SELECT subj AS entity, pred AS top_pred, obj AS top_obj,
+               CAST(score_dec AS DOUBLE) AS top_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY subj
+                 ORDER BY score_dec DESC, pred ASC, obj ASC
+               ) AS rn
+        FROM fused
+      ) WHERE rn = 1
+    ),
+    ins AS (
+      SELECT obj AS entity, COUNT(*) AS in_facts FROM fused GROUP BY obj
+    )
+    SELECT
+      COALESCE(o.entity, i.entity) AS entity,
+      COALESCE(o.out_facts, 0) AS out_facts,
+      COALESCE(i.in_facts, 0) AS in_facts,
+      COALESCE(o.n_obs_out, 0) AS n_obs_out,
+      COALESCE(t.top_pred, '') AS top_pred,
+      COALESCE(t.top_obj, '') AS top_obj,
+      COALESCE(t.top_score, 0.0) AS top_score
+    FROM outs o
+    JOIN tops t ON t.entity = o.entity
+    FULL OUTER JOIN ins i ON i.entity = o.entity
+    """,
+)
