@@ -72,3 +72,34 @@ def test_unwritten_out_of_order_version_is_rejected(spark, tmp_path):
     shutil.rmtree(os.path.join(state_dir, "v1"))
     with pytest.raises(ValueError, match="never committed"):
         INC.fold_pages_delta(spark, pages, state_dir, version=1)
+
+
+def test_empty_delta_fold_is_a_version_bump_noop(spark, tmp_path):
+    """A crawl day with zero new pages (routine for continuous
+    triggers): the fold must commit a new version whose report is
+    byte-identical to the previous one."""
+    pages = spark.read.parquet(PAGES)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    INC.fold_pages_delta(spark, pages, state_dir)
+    before = sorted(
+        map(
+            tuple,
+            INC.edge_report(
+                INC.read_edge_state(spark, f"{state_dir}/v1")
+            ).collect(),
+        )
+    )
+    s = INC.fold_pages_delta(
+        spark, pages.where(F.lit(False)), state_dir
+    )
+    assert s["state_version"] == 2 and not s["replayed"]
+    after = sorted(
+        map(
+            tuple,
+            INC.edge_report(
+                INC.read_edge_state(spark, f"{state_dir}/v2")
+            ).collect(),
+        )
+    )
+    assert after == before
