@@ -28,20 +28,25 @@ ENTITY_NS = "http://kg.example/entity/"
 REL_NS = "http://kg.example/rel/"
 CONF_PRED = "http://kg.example/meta/confidence"
 
-# order matters: '%' must be encoded before it appears in replacements
-_IRI_ENC = [
-    ("%", "%25"),
-    (" ", "%20"),
-    ('"', "%22"),
-    ("<", "%3C"),
-    (">", "%3E"),
-    ("\\", "%5C"),
-    ("|", "%7C"),
-    ("^", "%5E"),
-    ("`", "%60"),
-    ("{", "%7B"),
-    ("}", "%7D"),
-]
+# order matters: '%' must be encoded before it appears in replacements.
+# The excluded set is exactly the N-Triples IRIREF grammar's
+# ([^#x00-#x20<>"{}|^`\] — RDF 1.1 N-Triples §2): every control char
+# through space, plus the seven structural characters.
+_IRI_ENC = (
+    [("%", "%25")]
+    + [(chr(i), f"%{i:02X}") for i in range(0x21)]  # 0x00-0x20 incl. space
+    + [
+        ('"', "%22"),
+        ("<", "%3C"),
+        (">", "%3E"),
+        ("\\", "%5C"),
+        ("|", "%7C"),
+        ("^", "%5E"),
+        ("`", "%60"),
+        ("{", "%7B"),
+        ("}", "%7D"),
+    ]
+)
 
 # N-Triples literal escapes (spec table 1); backslash first
 _LIT_ESC = [
@@ -70,18 +75,33 @@ def literal(col: Column) -> Column:
 
 
 def ntriple_line(subj: Column, pred: Column, obj: Column) -> Column:
-    """One fact statement: ``<s> <p> <o> .``"""
-    return F.concat_ws(
-        " ", iri(subj, ENTITY_NS), iri(pred, REL_NS), iri(obj, ENTITY_NS),
-        F.lit("."),
+    """One fact statement: ``<s> <p> <o> .``
+
+    Built with ``F.concat`` (NULL-propagating), NOT ``concat_ws`` (which
+    silently skips NULL arguments): a NULL subj/pred/obj must yield a
+    NULL line — matching the DuckDB twin's ``||`` chain — never a
+    truncated, syntactically-broken statement.
+    """
+    return F.concat(
+        iri(subj, ENTITY_NS), F.lit(" "),
+        iri(pred, REL_NS), F.lit(" "),
+        iri(obj, ENTITY_NS), F.lit(" ."),
     )
+
+
+def _sql_quote(s: str) -> str:
+    """A DuckDB expression producing the literal string ``s``; control
+    characters are emitted as ``chr(n)`` so no raw byte lands in SQL
+    text."""
+    if len(s) == 1 and ord(s) < 0x21:
+        return f"chr({ord(s)})"
+    q = s.replace("\\", "\\\\").replace("'", "''")
+    return f"e'{q}'"
 
 
 def _sql_chain_replace(expr: str, table: list[tuple[str, str]]) -> str:
     for a, b in table:
-        qa = a.replace("\\", "\\\\").replace("'", "''")
-        qb = b.replace("\\", "\\\\").replace("'", "''")
-        expr = f"replace({expr}, e'{qa}', e'{qb}')"
+        expr = f"replace({expr}, {_sql_quote(a)}, {_sql_quote(b)})"
     return expr
 
 

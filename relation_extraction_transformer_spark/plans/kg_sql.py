@@ -1198,6 +1198,11 @@ def _kg_khop_spark(
         dist = dist.unionAll(frontier)
     out = dist.groupBy("node").agg(F.min("dist").alias("dist"))
     if not materialize:  # plan-inspection path: caller sees the raw plan
+        # release the cache entry immediately — nothing will run the
+        # plan, so a pinned MEMORY_AND_DISK edges frame would leak in
+        # the long-lived session (the leak _materialize_release exists
+        # to prevent)
+        edges.unpersist()
         return out
     return _materialize_release(out, edges)
 
@@ -1235,6 +1240,8 @@ def _kg_link_prediction_spark(
     spark: SparkSession,
     sf_dir: str,
     triples: DataFrame | None = None,
+    max_middle_degree: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Common-neighbor link prediction over the undirected entity graph:
     for every NON-adjacent pair sharing >= {_LP_MIN_CN} neighbors, the
@@ -1251,23 +1258,34 @@ def _kg_link_prediction_spark(
     Scale shape: wedge enumeration joins the symmetric adjacency list
     with itself on the middle node — Theta(sum deg^2) pairs, the
     irreducible cost of EXACT common-neighbor counting; at 100 TB the
-    hub nodes dominate, and the production mitigation (degree-capping /
-    sampling hub neighborhoods, as in the triangle census' orientation
-    trick) is applied upstream by filtering max-degree middles.  The
-    existing-edge anti-join and the >= {_LP_MIN_CN} filter keep the
-    output linear in the wedge count, never materialized all-pairs."""
+    hub nodes dominate, so ``max_middle_degree`` caps which nodes may
+    serve as the wedge MIDDLE: the degree filter runs on the
+    sym-adjacency frame BEFORE the self-join, so a hub of degree d
+    contributes 0 wedges instead of d^2.  The trade is explicit
+    under-counting — a pair whose only shared neighbors are hubs drops
+    out, and surviving pairs' cn / Adamic-Adar scores count non-hub
+    witnesses only (hub-mediated evidence is the least informative —
+    the same reasoning as Adamic-Adar's own 1/ln(deg) downweighting,
+    taken to its limit).  Default None = exact.  The existing-edge
+    anti-join and the >= {_LP_MIN_CN} filter keep the output linear in
+    the wedge count, never materialized all-pairs."""
     und = _und_edges(spark, triples).persist()
     deg = _und_degrees(und)
     sym = und.select(
         F.col("a").alias("v"), F.col("b").alias("n")
     ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    # attach the middle's degree BEFORE the self-join: the hub cap (and
+    # the aa_term it feeds) must prune wedges at their source, not
+    # after the Theta(deg^2) blowup has already happened
+    middles = sym.join(deg.withColumnRenamed("node", "v"), "v")
+    if max_middle_degree is not None:
+        middles = middles.filter(F.col("deg") <= max_middle_degree)
     # wedge: middle v adjacent to both u and w, u < w lexically
-    left = sym.select(F.col("v"), F.col("n").alias("u"))
-    right = sym.select(F.col("v"), F.col("n").alias("w"))
+    left = middles.select(F.col("v"), F.col("n").alias("u"), F.col("deg"))
+    right = middles.select(F.col("v"), F.col("n").alias("w"))
     wedges = left.join(right, "v").filter(F.col("u") < F.col("w"))
     scored = (
-        wedges.join(deg.withColumnRenamed("node", "v"), "v")
-        .select(
+        wedges.select(
             "u",
             "w",
             F.round(
@@ -1291,6 +1309,9 @@ def _kg_link_prediction_spark(
             "u", "w", "cn", F.col("aa_dec").cast("double").alias("aa_score")
         )
     )
+    if not materialize:  # plan-inspection path: caller sees the raw plan
+        und.unpersist()
+        return out
     return _materialize_release(out, und)
 
 

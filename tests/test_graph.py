@@ -522,6 +522,72 @@ def test_link_prediction_matches_python_brute_force(spark):
         assert abs(got[p][1] - want[p][1]) < 1e-8, p
 
 
+def test_link_prediction_hub_cap(spark):
+    """max_middle_degree: capped output is the brute force restricted to
+    middles of degree <= cap (a subset of uncapped pairs, never larger
+    cn), and the degree filter sits BELOW the wedge self-join in the
+    optimized plan — hubs are pruned before the Theta(deg^2) blowup."""
+    import math
+    from itertools import combinations
+
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    cap = 3
+    tri = spark.read.parquet(KQ.TRIPLES_PARQUET)
+    und = {
+        (min(r.subj, r.obj), max(r.subj, r.obj))
+        for r in tri.select("subj", "obj").collect()
+        if r.subj != r.obj
+    }
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for v, ns in nbrs.items():
+        if len(ns) > cap:  # hub middles contribute no wedges
+            continue
+        for u, w in combinations(sorted(ns), 2):
+            cn, aa = want.get((u, w), (0, 0.0))
+            want[(u, w)] = (cn + 1, aa + 1.0 / math.log(len(ns)))
+    want = {
+        p: s
+        for p, s in want.items()
+        if s[0] >= KQ._LP_MIN_CN and p not in und
+    }
+    capped_df = KQ._kg_link_prediction_spark(spark, "", max_middle_degree=cap)
+    capped = {
+        (r.u, r.w): (r.cn, r.aa_score) for r in capped_df.collect()
+    }
+    assert set(capped) == set(want)
+    for p, (cn, aa) in want.items():
+        assert capped[p][0] == cn, p
+        assert abs(capped[p][1] - aa) < 1e-8, p
+    uncapped = {
+        (r.u, r.w): r.cn
+        for r in KQ._kg_link_prediction_spark(spark, "").collect()
+    }
+    assert set(capped) <= set(uncapped)
+    for p in capped:
+        assert capped[p][0] <= uncapped[p]
+    # plan shape: the cap filter prints BELOW (after) the wedge
+    # self-join line — i.e. it executes before the join, in its inputs
+    plan = (
+        KQ._kg_link_prediction_spark(
+            spark, "", max_middle_degree=cap, materialize=False
+        )
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    lines = plan.splitlines()
+    join_idx = [i for i, ln in enumerate(lines) if "Join" in ln]
+    filt_idx = [
+        i for i, ln in enumerate(lines)
+        if "Filter" in ln and f"<= {cap}" in ln
+    ]
+    assert filt_idx, plan
+    assert min(join_idx) < max(filt_idx), plan
+
+
 def test_wcc_matches_python_union_find(spark):
     """kg_wcc equals a pure-Python union-find with min-id relabeling
     over the same frozen triples."""

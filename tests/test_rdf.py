@@ -88,13 +88,15 @@ def test_serialization_is_jvm_only(spark):
 
 
 def test_round_trip_fuzz(spark):
-    """Hypothesis fuzz: any printable-ASCII entity/pred surfaces survive
-    serialize -> regex-parse -> unquote exactly."""
+    """Hypothesis fuzz: ASCII surfaces INCLUDING control characters
+    (tab/newline/CR/NUL and the rest of C0) survive serialize ->
+    regex-parse -> unquote exactly — control chars must never land raw
+    inside an IRIREF (the grammar forbids #x00-#x20)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     surface = st.text(
-        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        alphabet=st.characters(min_codepoint=0, max_codepoint=126),
         min_size=1,
         max_size=24,
     )
@@ -105,9 +107,49 @@ def test_round_trip_fuzz(spark):
         line = _serialize(spark, [(s, p, o)])[0]
         m = re.fullmatch(r"<([^>]*)> <([^>]*)> <([^>]*)> \.", line)
         assert m, line
+        for g in m.groups():  # IRIREF grammar: no raw control chars
+            assert not any(ord(c) <= 0x20 for c in g), line
         su, pu, ou = (urllib.parse.unquote(g) for g in m.groups())
         assert (su, pu, ou) == (
             R.ENTITY_NS + s, R.REL_NS + p, R.ENTITY_NS + o
         )
 
     _check()
+
+
+def test_null_component_propagates_to_null_line(spark):
+    """A NULL subj/pred/obj yields a NULL statement (matching the DuckDB
+    ``||`` chain) — never a truncated '<s> <p> .' malformed line."""
+    rows = [("s", "p", None), ("s", None, "o"), (None, "p", "o"),
+            ("s", "p", "o")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = [
+        r.n
+        for r in df.select(
+            R.ntriple_line(F.col("subj"), F.col("pred"), F.col("obj")).alias("n")
+        ).collect()
+    ]
+    assert got.count(None) == 3
+    (line,) = [g for g in got if g is not None]
+    assert re.fullmatch(r"<([^>]*)> <([^>]*)> <([^>]*)> \.", line)
+
+
+def test_duckdb_twin_byte_identical_on_control_chars(spark):
+    """The DuckDB SQL twin emits byte-identical statements for surfaces
+    carrying C0 control characters (chr(n)-based SQL quoting path)."""
+    import duckdb
+
+    rows = [
+        ("a\tb", "per:title", "c\nd"),
+        ("nul\x00mid", "org:members", "cr\rend"),
+        ("esc\x1b", "per:age", "bell\x07"),
+    ] + ADVERSARIAL
+    spark_lines = _serialize(spark, rows)
+    con = duckdb.connect()
+    duck_lines = [
+        con.execute(
+            f"SELECT {R.duck_ntriple_sql('?', '?', '?')}", [s, p, o]
+        ).fetchone()[0]
+        for s, p, o in rows
+    ]
+    assert spark_lines == duck_lines
