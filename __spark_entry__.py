@@ -183,9 +183,6 @@ _DEFERRED_PAST_DRIVER_CAP = (
     # dup_clusters, which get their first driver record this round
     "token_stats",
     "quality_scores",
-    # r6 addition, registered after the rotation: the scaled-cell-count
-    # semdedup twin (pytest-gated like the rest)
-    "semdedup_scaled_cells",
     # second r6 rotation: repetition_scores / corpus_filter_decisions
     # (driver-green r3-r5) and doc_fingerprints (r2-r5) yield their
     # slots to the round-6 additions hll_distinct (HyperLogLog sketch),
@@ -199,17 +196,20 @@ _DEFERRED_PAST_DRIVER_CAP = (
     # sketch) and kg_wcc (connected components over the entity graph)
     "stratified_sample",
     "pack_segments",
-    # r6 additions, registered after the rotations: incremental edge
-    # rollup (merge==rebuild law checked cross-engine; pytest-gated),
-    # Knowledge-Vault-style noisy-or belief fusion, and functional-
-    # predicate conflict resolution (truth discovery)
-    "kg_edge_history_incremental",
-    "kg_fusion",
-    "kg_conflicts",
-    "kg_type_violations",
-    "kg_ntriples",
-    "kg_communities",
-    "kg_entity_profiles",
+    # round-7 rotation (VERDICT r6 ask #1): eight rows driver-green four
+    # consecutive rounds (r2/r3-r6) yield their slots so the eight
+    # late-round-6 oracle-paired queries (kg_fusion, kg_conflicts,
+    # kg_type_violations, kg_ntriples, kg_communities,
+    # kg_entity_profiles, kg_edge_history_incremental,
+    # semdedup_scaled_cells) earn their first driver record at sf0.01
+    "minhash_bands",
+    "ngram_jaccard_buckets",
+    "knn_label_vote",
+    "embedding_near_dup_pairs",
+    "bpe_merge_candidates",
+    "lang_guess",
+    "winnowing_fingerprints",
+    "ann_lsh_buckets",
 )
 _DRIVER_CAP = 50
 

@@ -87,28 +87,30 @@ def test_rows_only_queries_run(spark, name):
         pdf.sort_values(by=list(pdf.columns))
 
 
-# the exact 50-query battery the driver records — round-6 rotation:
-# token_stats and quality_scores (driver-green r2-r5) yield their slots
-# to the round-5 additions semdedup_drops and dup_clusters so both earn
-# their first driver-record green (VERDICT r5 ask #2); repetition_scores,
-# corpus_filter_decisions (r3-r5) and doc_fingerprints (r2-r5) yield
-# theirs to the round-6 additions hll_distinct, kg_khop and
-# kg_link_prediction; stratified_sample and pack_segments (r2-r5) to
-# cms_heavy_hitters and kg_wcc.  Pinned so
+# the exact 50-query battery the driver records — round-7 rotation
+# (VERDICT r6 ask #1): eight rows driver-green four consecutive rounds
+# (minhash_bands, ngram_jaccard_buckets, knn_label_vote,
+# embedding_near_dup_pairs, bpe_merge_candidates, lang_guess,
+# winnowing_fingerprints, ann_lsh_buckets) yield their slots to the
+# eight late-round-6 oracle-paired additions (kg_fusion, kg_conflicts,
+# kg_type_violations, kg_ntriples, kg_communities, kg_entity_profiles,
+# kg_edge_history_incremental, semdedup_scaled_cells) so each earns a
+# first driver record at sf0.01.  Pinned so
 # a future register() call that forgets _DEFERRED_PAST_DRIVER_CAP
 # cannot silently displace a driver-green row (all slots would still be
 # oracle-paired, so a weaker "all paired" check would not catch it).
-_BATTERY_R6 = (
+_BATTERY_R7 = (
     "vocab_ranked", "semdedup_drops", "dup_clusters",
     "hll_distinct", "kg_khop", "kg_link_prediction",
     "cms_heavy_hitters", "kg_wcc",
-    "bpe_merge_candidates", "lang_guess",
-    "dedup_exact", "minhash_bands",
-    "minhash_candidate_pairs", "ngram_jaccard_buckets", "simhash_64",
-    "ann_cosine_topk", "ann_lsh_buckets", "knn_label_vote",
+    "kg_fusion", "kg_conflicts",
+    "dedup_exact", "kg_type_violations",
+    "minhash_candidate_pairs", "kg_ntriples", "simhash_64",
+    "ann_cosine_topk", "kg_communities", "kg_entity_profiles",
     "scorer_per_relation", "scorer_micro", "ensemble_majority_vote",
-    "sessionize_users", "tumbling_hourly_counts", "embedding_near_dup_pairs",
-    "winnowing_fingerprints", "ann_ivf_topk", "rare_token_ratio",
+    "sessionize_users", "tumbling_hourly_counts",
+    "kg_edge_history_incremental",
+    "semdedup_scaled_cells", "ann_ivf_topk", "rare_token_ratio",
     "kg_candidates", "kg_nodes", "kg_edges",
     "media_features", "media_frames", "kg_host_stats",
     "media_dedup", "media_meta",
@@ -129,9 +131,9 @@ def test_driver_battery_first_50_all_oracle_paired():
     battery = names[: entry._DRIVER_CAP]
     unpaired = [n for n in battery if n not in ORACLES]
     assert not unpaired, f"driver slots wasted on rows-only: {unpaired}"
-    assert sorted(battery) == sorted(_BATTERY_R6), (
-        f"driver battery drifted: +{set(battery) - set(_BATTERY_R6)} "
-        f"-{set(_BATTERY_R6) - set(battery)}"
+    assert sorted(battery) == sorted(_BATTERY_R7), (
+        f"driver battery drifted: +{set(battery) - set(_BATTERY_R7)} "
+        f"-{set(_BATTERY_R7) - set(battery)}"
     )
     # deferred queries must still be registered + paired (pytest-gated)
     for n in entry._DEFERRED_PAST_DRIVER_CAP:
