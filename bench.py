@@ -66,11 +66,14 @@ HEADLINE = [
 
 
 def run_semdedup_bench(spark: SparkSession) -> dict:
-    """Quantify the r6 SemDeDup scale fix on the same quantized corpus:
-    the r5 fixture shape (FIXED 4 cells — within-cell pairwise work is
-    (N/4)^2, quadratic in corpus size) vs the library default
-    (cells ∝ corpus size + a hard per-cell cap).  Already ~4x at sf0.1's
-    2k vectors; the gap widens linearly with the corpus."""
+    """Quantify the SemDeDup cell-count laws on the same quantized
+    corpus: the r5 fixture shape (FIXED 4 cells — within-cell pairwise
+    work is (N/4)^2, quadratic in corpus size), the r6 linear law
+    (cells ∝ corpus: constant pairwise per cell but assignment cost
+    N x n_cells = N^2/target), and the r7 default sqrt law
+    (n_cells = ceil(sqrt N): assignment and pairwise balance at N^1.5 —
+    VERDICT r6 #1).  The assignment-stage cost curve is the point:
+    linear law does N^2/64 assignment sims here, sqrt law N^1.5."""
     from pyspark.sql import functions as F
 
     from relation_extraction_transformer_spark.operators import (
@@ -94,10 +97,13 @@ def run_semdedup_bench(spark: SparkSession) -> dict:
 
     fixed = timed(n_cells=4)
     scaled = timed(target_cell_size=64, cell_cap=256)
+    sqrt_law = timed(cell_cap=256)  # r7 default: n_cells = ceil(sqrt N)
     return {
         "fixed4_cells_sec": fixed,
         "scaled_cells_sec": scaled,
+        "sqrt_law_cells_sec": sqrt_law,
         "speedup": round(fixed / scaled, 2),
+        "speedup_sqrt_vs_fixed": round(fixed / sqrt_law, 2),
     }
 
 

@@ -88,6 +88,63 @@ def test_default_cell_count_scales_with_corpus(spark):
     assert top1 > top, "smaller target cells must yield more clusters"
 
 
+def test_default_cell_count_is_sqrt_law(spark):
+    """With neither n_cells nor target_cell_size, n_cells = ceil(sqrt N)
+    — the law that balances assignment (N·n_cells) and pairwise
+    (N²/n_cells) sims at N^1.5 total (VERDICT r6 #1)."""
+    corpus = _corpus(spark, n=90, dup_every=1000)  # 91 rows
+    out = SEM.semdedup(corpus, "id", "emb")
+    top = (
+        out.filter(F.col("cell").isNotNull())
+        .select(F.split("cell", "/").getItem(0).alias("c"))
+        .distinct().count()
+    )
+    # ceil(sqrt(91)) = 10 centroids exist; all may not win rows, but far
+    # more than the old N/1024 law (which would give 1 cell here)
+    assert 1 < top <= 10
+
+
+def test_two_level_assignment_matches_truth_on_planted_dups(spark):
+    """Two-level coarse→fine assignment must not change which planted
+    duplicates drop (identical vectors take identical routes), and its
+    cells must be a subset of the single-level centroid keys."""
+    corpus = _corpus(spark)
+    truth = _dropped(SEM.semdedup(corpus, "id", "emb", n_cells=1))
+    two = SEM.semdedup(corpus, "id", "emb", n_cells=16, two_level=True)
+    assert _dropped(two) == truth
+    one = SEM.semdedup(corpus, "id", "emb", n_cells=16, two_level=False)
+    cells_two = {r.c for r in two.filter(F.col("cell").isNotNull())
+                 .select(F.col("cell").alias("c")).distinct().collect()}
+    cells_one = {r.c for r in one.filter(F.col("cell").isNotNull())
+                 .select(F.col("cell").alias("c")).distinct().collect()}
+    # same centroid universe (the 16 lowest ids), even if membership
+    # differs at coarse-cell boundaries
+    assert cells_two <= {str(i) for i in range(16)}
+    assert cells_one <= {str(i) for i in range(16)}
+    # every member lands in exactly one cell in both modes
+    assert two.count() == one.count() == corpus.count()
+
+
+def test_two_level_broadcast_side_is_coarse_only(spark):
+    """The two-level plan must not broadcast the full centroid table in
+    the member-routing stage: only crossJoin partners are the coarse
+    anchor table (ceil(sqrt(n_cells)) rows).  Checked structurally: the
+    fine match is an equi-join on coarse_key, so the optimized plan
+    carries a coarse_key equi-join, which the single-level plan never
+    has."""
+    corpus = _corpus(spark, n=60, dup_every=1000)
+    from relation_extraction_transformer_spark.operators.semdedup import (
+        _assign_two_level, _centroid_rows,
+    )
+    q = corpus.select(F.col("id").alias("_id"), F.col("emb").alias("v"))
+    cents = _centroid_rows(q, 9)
+    plan = (
+        _assign_two_level(q, cents, 9, 9)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "coarse_key" in plan
+
+
 def test_zero_norm_vectors_get_null_cell_and_survive(spark):
     rows = [(1, [0, 0, 0]), (2, [1, 2, 3]), (3, [1, 2, 3])]
     df = spark.createDataFrame(rows, "id long, emb array<long>")
