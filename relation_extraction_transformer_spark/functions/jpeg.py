@@ -320,6 +320,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # a legal baseline stream may carry one scan PER
+                # component (non-interleaved); this decoder handles only
+                # the single interleaved scan — decoding just the first
+                # scan would silently return a Y-only grayscale image
+                # for a color frame, so refuse loudly and let the
+                # caller's labeled stub fallback take over (same path
+                # as progressive)
+                raise ValueError(
+                    "non-interleaved JPEG (scan covers "
+                    f"{ns} of {len(frame['comps'])} components)"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = struct.unpack_from(">BB", body, 1 + 2 * i)

@@ -408,6 +408,99 @@ def rank_triples(
     return id_edges.mapInPandas(run, schema=_RANK_SCHEMA)
 
 
+def rank_triples_filtered(
+    id_edges: DataFrame,
+    params: dict,
+    known_edges: DataFrame | None = None,
+    block_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Filtered ranking WITHOUT driver-side filter maps — the
+    billion-edge form :func:`build_known_maps`'s docstring specifies:
+    ``rank_filtered = rank_raw - (known competitors ranked ahead)``,
+    with the competitor set recovered by a JOIN of the test triples
+    against the known edge list on (h, r) (tail side) / (r, t) (head
+    side), never a ``collect()``.
+
+    Per joined (test triple, competitor) pair the two squared-L2 scores
+    are compared in a vectorized Arrow batch — O(dim) work per pair, so
+    total cost is O(|test ⋈ known| · dim), and the ahead-counts reduce
+    through a map-side-combinable groupBy.  Same math as the dict path
+    (identical ``||e||² - 2 p·e`` arithmetic, strict-less comparison;
+    the true entity never discounts itself).  ``known_edges`` defaults
+    to ``id_edges`` (held-in protocol); pass the full
+    train+valid+test id-edge frame for a split protocol."""
+    from pyspark.sql import functions as F
+
+    spark = id_edges.sparkSession
+    if known_edges is None:
+        known_edges = id_edges
+    raw = rank_triples(id_edges, params, None, block_bytes).drop(
+        "rank_filtered"
+    )
+    params_bc = spark.sparkContext.broadcast(
+        {"ent_emb": params["ent_emb"], "rel_emb": params["rel_emb"]}
+    )
+
+    def _ahead_fn(side: str):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            p = params_bc.value
+            ent, rel = p["ent_emb"], p["rel_emb"]
+            ent_sq = (ent * ent).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                h = pdf["h"].to_numpy(np.int64)
+                r = pdf["r"].to_numpy(np.int64)
+                t = pdf["t"].to_numpy(np.int64)
+                comp = pdf["comp"].to_numpy(np.int64)
+                if side == "tail":
+                    pred, true = ent[h] + rel[r], t
+                else:
+                    pred, true = ent[t] - rel[r], h
+                # same dropped-||pred||² form as rank_triples: ranks only
+                # compare scores sharing a prediction row
+                d_comp = ent_sq[comp] - 2.0 * (pred * ent[comp]).sum(axis=1)
+                d_true = ent_sq[true] - 2.0 * (pred * ent[true]).sum(axis=1)
+                ahead = (d_comp < d_true).astype(np.int64)
+                part = (
+                    pd.DataFrame({"h": h, "r": r, "t": t, "ahead": ahead})
+                    .groupby(["h", "r", "t"], as_index=False)["ahead"]
+                    .sum()
+                )
+                yield part
+
+        return run
+
+    sides = []
+    for side, keys in (("tail", ["h", "r"]), ("head", ["r", "t"])):
+        comp_col = "t" if side == "tail" else "h"
+        comps = (
+            known_edges.select(*keys, F.col(comp_col).alias("comp"))
+            .distinct()
+        )
+        pairs = id_edges.select("h", "r", "t").join(comps, keys)
+        counts = (
+            pairs.mapInPandas(
+                _ahead_fn(side), schema="h long, r long, t long, ahead long"
+            )
+            .groupBy("h", "r", "t")
+            .agg(F.sum("ahead").alias("_ahead"))
+        )
+        sides.append(
+            raw.filter(F.col("side") == side)
+            .join(counts, ["h", "r", "t"], "left")
+            .withColumn(
+                "rank_filtered",
+                F.col("rank_raw") - F.coalesce(F.col("_ahead"), F.lit(0)),
+            )
+            .drop("_ahead")
+        )
+    out = sides[0].unionByName(sides[1])
+    return out.select(
+        "h", "r", "t", "side", "rank_raw", "rank_filtered"
+    )
+
+
 def ranking_metrics(ranks: DataFrame, rank_col: str = "rank_filtered") -> DataFrame:
     """MRR / Hits@{1,3,10} / mean rank per corruption side — one
     JVM-side aggregation over the rank rows (no Python)."""
@@ -434,6 +527,7 @@ def evaluate_ranking(
     ent_ids: dict,
     rel_ids: dict,
     filtered: bool = True,
+    distributed_filter: bool = False,
 ) -> DataFrame:
     """End-to-end: map (src, rel, dst) test edges to ids, rank both
     corruption sides against the full entity set, return the metric
@@ -441,7 +535,12 @@ def evaluate_ranking(
     frame (the held-in protocol the rows-only driver query uses);
     pass a larger all-known-triples frame through
     :func:`build_known_maps` + :func:`rank_triples` directly for a
-    train/valid/test split."""
+    train/valid/test split.  ``distributed_filter=True`` computes the
+    filtered correction join-side (:func:`rank_triples_filtered`) — no
+    driver-side edge collect, the form that scales past an executor-
+    sized edge list."""
     id_edges = to_id_edges(edges, ent_ids, rel_ids)
+    if filtered and distributed_filter:
+        return ranking_metrics(rank_triples_filtered(id_edges, params))
     known = build_known_maps(id_edges) if filtered else None
     return ranking_metrics(rank_triples(id_edges, params, known))

@@ -154,6 +154,26 @@ def test_rejects_non_baseline_and_malformed():
         J.jpeg_decode(bytes(bad))
 
 
+def test_rejects_non_interleaved_scan():
+    """A legal baseline stream may carry one scan PER component
+    (non-interleaved).  Decoding only the first (Y) scan would silently
+    return a grayscale image for a color frame — the decoder must raise
+    instead, so the multimodal stub fallback takes over (same path as
+    progressive)."""
+    px = np.zeros((8, 8, 3), np.uint8)
+    good = J.jpeg_encode(px)
+    sos_at = good.index(b"\xff\xda")
+    # rebuild the SOS header declaring a 1-component (Y-only) scan:
+    # len=8, ns=1, (cs=1, dc0/ac0), spectral 0..63, ah/al 0
+    patched = (
+        good[:sos_at]
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + good[sos_at + 14:]  # original SOS was len 12 (+2 marker)
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        J.jpeg_decode(patched)
+
+
 def test_quality_knob_monotone_size_and_error():
     px = np.random.default_rng(10).integers(0, 256, (24, 24, 3), np.uint8)
     sizes, errs = [], []

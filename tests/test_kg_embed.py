@@ -161,6 +161,42 @@ def test_rank_triples_matches_bruteforce_oracle(spark):
     assert got7 == expected
 
 
+def test_distributed_filtered_ranking_equals_dict_path(spark):
+    """rank_triples_filtered (join-side correction, no driver collect)
+    must produce EXACTLY the dict-path ranks — raw and filtered, both
+    sides — and be invariant under repartitioning of both the test and
+    known edge frames."""
+    edges = _edges_df(spark, _TRIPLES)
+    ent_ids, rel_ids = KE.build_id_maps(edges)
+    params = KE.init_params(len(ent_ids), len(rel_ids), dim=6, seed=4)
+    id_edges = KE.to_id_edges(edges, ent_ids, rel_ids)
+    known = KE.build_known_maps(id_edges)
+    want = sorted(
+        map(tuple, KE.rank_triples(id_edges, params, known).collect())
+    )
+    got = sorted(
+        map(tuple, KE.rank_triples_filtered(id_edges, params).collect())
+    )
+    assert got == want
+    got7 = sorted(
+        map(
+            tuple,
+            KE.rank_triples_filtered(
+                id_edges.repartition(7), params,
+                known_edges=id_edges.repartition(3),
+            ).collect(),
+        )
+    )
+    assert got7 == want
+    # end-to-end metric rows agree too
+    m_dict = sorted(map(tuple, KE.evaluate_ranking(
+        edges, params, ent_ids, rel_ids).collect()))
+    m_dist = sorted(map(tuple, KE.evaluate_ranking(
+        edges, params, ent_ids, rel_ids, distributed_filter=True
+    ).collect()))
+    assert m_dist == m_dict
+
+
 def test_rank_triples_small_blocks_equal_one_block(spark):
     """The block_bytes memory bound must not change any rank: forcing
     one-row distance blocks reproduces the single-block result."""
