@@ -167,6 +167,70 @@ def latest_version(state_dir: str) -> int:
     return int(open(marker).read().strip())
 
 
+def committed_versions(
+    state_dir: str, datasets: tuple[str, ...] = ("stats", "regs")
+) -> list[int]:
+    """Every version whose datasets ALL carry ``_SUCCESS`` markers,
+    ascending.  This is the durable truth about what was folded; the
+    ``LATEST`` marker is only a convenience pointer that may lag one
+    behind after a crash between the state write and the flip.
+    ``datasets`` names the per-version parquet subdirectories (edge
+    state: stats+regs; canonical-map state: nodes+bands)."""
+    out = []
+    if not os.path.isdir(state_dir):
+        return out
+    for name in os.listdir(state_dir):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        if all(
+            os.path.exists(os.path.join(state_dir, name, d, "_SUCCESS"))
+            for d in datasets
+        ):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _flip_latest(state_dir: str, version: int) -> None:
+    """Atomically point ``LATEST`` at ``version`` (write-tmp + rename).
+    ``os.replace`` is atomic on POSIX filesystems; an object store
+    deployment would condition this on a compare-and-swap or a catalog
+    transaction instead — the marker is advisory either way, because
+    readers can always recover the durable truth from
+    :func:`committed_versions`."""
+    tmp = os.path.join(state_dir, "LATEST.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(state_dir, "LATEST"))
+
+
+def vacuum_state(
+    state_dir: str,
+    keep_last_k: int,
+    datasets: tuple[str, ...] = ("stats", "regs"),
+) -> list[int]:
+    """Retention for the 24/7 loop: delete committed versions older than
+    the newest ``keep_last_k``, never touching the version ``LATEST``
+    points at, the maximum committed version, or any UNcommitted
+    directory (a concurrent writer may be mid-commit there).  Returns
+    the versions removed.  Without this, a daily fold accumulates state
+    versions forever (each is edge-keyed aggregate data — small next to
+    the crawl, but unbounded over years)."""
+    import shutil
+
+    if keep_last_k < 1:
+        raise ValueError("keep_last_k must be >= 1")
+    committed = committed_versions(state_dir, datasets)
+    keep = set(committed[-keep_last_k:])
+    keep.add(latest_version(state_dir))
+    removed = []
+    for v in committed:
+        if v in keep:
+            continue
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+        removed.append(v)
+    return removed
+
+
 def fold_pages_delta(
     spark: SparkSession,
     pages: DataFrame,
@@ -182,13 +246,29 @@ def fold_pages_delta(
     ``version`` from a durable sequence (e.g. a Structured Streaming
     ``batch_id``) gets exactly-once state even when the framework
     re-delivers a batch after a crash — an already-written version is
-    skipped, and LATEST only ever moves forward.  Left at ``None``, the
-    version is simply LATEST+1 (the batch-job path).
+    skipped, and LATEST only ever moves forward.  Left at ``None`` (the
+    batch-job path), the version is one past the max COMMITTED version
+    (falling back to LATEST), so a crash between the state write and
+    the LATEST flip can never make a later run mistake its fresh delta
+    for a replay.
     """
     from ..plans import pipeline as PL
 
     cur = latest_version(state_dir)
     if version is None:
+        # Derive the next version from the DURABLE truth (max committed
+        # v* dir), not the LATEST pointer: after a crash between
+        # write_edge_state and the flip, a committed v(cur+1) exists
+        # that LATEST does not name.  Using LATEST+1 would alias
+        # TODAY'S different delta onto the crashed run's _SUCCESS
+        # markers, classify it 'replayed', and silently drop the new
+        # data while flipping LATEST (ADVICE r6).  A committed-but-
+        # unflipped version is valid already-folded state — today's
+        # delta folds on top of it.  (Only the batch path needs this;
+        # the streaming path ties ``version`` to the batch_id, so a
+        # replay really is the same delta.)
+        committed = committed_versions(state_dir)
+        cur = max(cur, committed[-1] if committed else 0)
         version = cur + 1
     new_dir = os.path.join(state_dir, f"v{version}")
     # a version counts as written only when BOTH datasets committed
@@ -222,8 +302,7 @@ def fold_pages_delta(
             delta = merge_edge_state(standing, delta)
         write_edge_state(delta, new_dir)
     if version > cur:
-        with open(os.path.join(state_dir, "LATEST"), "w") as fh:
-            fh.write(str(version))
+        _flip_latest(state_dir, version)
     return {
         "state_version": version,
         "bootstrap": cur == 0,

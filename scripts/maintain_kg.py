@@ -18,7 +18,11 @@ The daily job a production KG runs instead of a full rebuild:
 State versioning: each fold writes ``<state>/v<N+1>`` and then updates
 ``<state>/LATEST``; the job never overwrites the version it is lazily
 reading (Spark cannot overwrite its own input), old versions remain for
-rollback, and a crash before LATEST flips is invisible to the next run.
+rollback (prune them with ``--keep-last-k``), and a crash before
+LATEST flips is harmless: the next run derives its version from the
+max COMMITTED ``v*`` directory, so the committed-but-unflipped state
+becomes the base it folds onto — never mistaken for a replay of the
+new delta.
 
 The stage logic lives in :func:`maintain` so tests drive it directly
 (tests/test_maintain_kg.py proves a two-day simulation lands on exactly
@@ -45,7 +49,7 @@ sys.path.insert(
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 
-def maintain(spark, pages, state_dir: str):
+def maintain(spark, pages, state_dir: str, keep_last_k: int | None = None):
     """Fold one pages delta into the standing state at ``state_dir``.
 
     Returns ``(report, conflicts, summary)`` — the refreshed rollup and
@@ -73,6 +77,11 @@ def maintain(spark, pages, state_dir: str):
         edges=state.stats.count(),
         conflicted_keys=conflicts.count(),
     )
+    if keep_last_k is not None:
+        # retention AFTER the fold + reads above: never deletes the
+        # version just written (it is the max committed) nor the one
+        # LATEST names
+        summary["vacuumed"] = INC.vacuum_state(state_dir, keep_last_k)
     return report, conflicts, summary
 
 
@@ -81,6 +90,11 @@ def main(argv=None) -> int:
     ap.add_argument("--pages", required=True, help="pages delta parquet")
     ap.add_argument("--state", required=True, help="standing state dir")
     ap.add_argument("--report-out", default=None, help="optional parquet out")
+    ap.add_argument(
+        "--keep-last-k", type=int, default=None,
+        help="retention: delete committed state versions older than the "
+        "newest K (never the one LATEST names); default keeps all",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -92,7 +106,9 @@ def main(argv=None) -> int:
     )
     try:
         pages = spark.read.parquet(args.pages)
-        report, conflicts, summary = maintain(spark, pages, args.state)
+        report, conflicts, summary = maintain(
+            spark, pages, args.state, keep_last_k=args.keep_last_k
+        )
         if args.report_out:
             report.write.mode("overwrite").parquet(
                 os.path.join(args.report_out, "report")
