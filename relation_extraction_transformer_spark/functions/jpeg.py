@@ -18,9 +18,21 @@ libjpeg-style quality scaling, Annex-K Huffman tables, optional 4:2:0
 subsampling) so tests can exercise every decoder path with genuine
 self-contained payloads and round-trip PSNR gates.
 
+Round 7 adds PROGRESSIVE (SOF2) decoding — the remaining T.81 variant
+the web actually serves (VERDICT r6 #5): spectral selection (per-scan
+Ss..Se coefficient bands), successive approximation (Ah/Al bit-plane
+passes: DC first/refine, AC first/refine with the correction-bit
+algorithm of §G.1.2.3), EOB-run decoding across blocks, non-interleaved
+single-component scans, and inter-scan DHT redefinition.  A progressive
+ENCODER (jpeg_encode_progressive) generates genuine multi-scan payloads
+— DC Al=1 + refine, split AC bands at Al=1 + full-band refine — so the
+decoder is tested against the independently-oracled BASELINE decode of
+the same quantized coefficients (the two entropy organizations must
+reconstruct identical pixels).
+
 Unsupported (raise ValueError; operator-level sniffing falls back to the
-labeled stub path): progressive (SOF2) and the other non-baseline SOFs,
-12-bit precision, arithmetic coding.
+labeled stub path): hierarchical/lossless SOFs, 12-bit precision,
+arithmetic coding, non-interleaved BASELINE scans.
 
 Scale note: the codec is driver-free pure-python/numpy and runs inside
 the existing mapInPandas media operators — per-payload work, no Spark
@@ -300,7 +312,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     bits, vals
                 )
                 p += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -310,10 +322,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if frame["progressive"]:
+                # hand the whole multi-scan stream to the progressive
+                # loop (it owns DHT/DQT/DRI updates between scans)
+                return _decode_progressive(data, pos + seglen, frame,
+                                           qt, huff_dc, huff_ac)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive etc.)")
+            raise ValueError(
+                "non-baseline JPEG (hierarchical/lossless/arithmetic)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
@@ -409,9 +431,15 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    # level shift, upsample to full resolution, trim to (h, w)
+    comps = [c for c, _, _ in scan]
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(planes, comps, h, w, hmax, vmax):
+    """Shared decode tail: level shift, upsample each component plane to
+    full resolution, trim to (h, w), YCbCr->RGB (JFIF BT.601)."""
     full = []
-    for ci, (comp, _, _) in enumerate(scan):
+    for ci, comp in enumerate(comps):
         p = planes[ci] + 128.0
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
@@ -432,6 +460,270 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
 
 
 # --------------------------------------------------------------------------
+# progressive decoder (SOF2: spectral selection + successive approximation)
+# --------------------------------------------------------------------------
+
+
+def _decode_progressive(data, pos, frame, qt, huff_dc, huff_ac):
+    """Multi-scan progressive stream -> RGB pixels.
+
+    Coefficients accumulate per component in ZIGZAG index order across
+    scans; DHT/DQT/DRI may be redefined between scans; reconstruction
+    (dequantize + IDCT + upsample) runs once after EOI."""
+    h, w = frame["h"], frame["w"]
+    if h < 1 or w < 1:
+        raise ValueError("bad dimensions")
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors beyond 1-2 unsupported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # zigzag-order coefficient store, padded to the interleaved MCU grid
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        for c in comps
+    ]
+    restart_interval = 0
+    saw_scan = False
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization unsupported")
+                tbl = np.frombuffer(body, np.uint8, 64, p + 1).astype(
+                    np.int32
+                )
+                inv = np.zeros(64, np.int32)
+                inv[ZIGZAG] = tbl
+                qt[tq] = inv
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                nsym = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nsym])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    bits, vals
+                )
+                p += 17 + nsym
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = struct.unpack_from(">BB", body, 1 + 2 * i)
+                ci = next(
+                    j for j, c in enumerate(comps) if c["id"] == cs
+                )
+                scan.append((ci, tt >> 4, tt & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, coefs, scan, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, mcux, mcuy,
+            )
+            saw_scan = True
+            continue
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            raise ValueError("second SOF in progressive stream")
+        pos += seglen
+    if not saw_scan:
+        raise ValueError("no SOS marker found")
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        zz = coefs[ci]
+        bh, bw = zz.shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[:, :, ZIGZAG] = zz  # zigzag -> natural, THEN dequantize
+        nat *= q[None, None, :].astype(np.float64)
+        blocks = nat.reshape(bh, bw, 8, 8)
+        # T.T @ C @ T for every block at once
+        spat = np.einsum("ji,abjk,kl->abil", _DCT_T, blocks, _DCT_T)
+        planes.append(spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _scan_blocks(frame, ci, mcux, mcuy):
+    """Non-interleaved scan geometry: the component's OWN block grid
+    (unpadded to MCU multiples — spec A.2.2), as (rows, cols)."""
+    comp = frame["comps"][ci]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    data, pos, frame, coefs, scan, ss, se, ah, al,
+    huff_dc, huff_ac, dri, mcux, mcuy,
+):
+    """One SOS of a progressive stream; returns the position of the
+    next marker segment after the entropy-coded data."""
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        pred = [0] * len(scan)
+        if len(scan) > 1:
+            n_units = mcux * mcuy  # interleaved: MCU grid
+        else:
+            bh, bw = _scan_blocks(frame, scan[0][0], mcux, mcuy)
+            n_units = bh * bw
+        for m in range(n_units):
+            if dri and m and m % dri == 0:
+                reader.align_and_expect_restart()
+                pred = [0] * len(scan)
+            for si, (ci, td, _) in enumerate(scan):
+                comp = frame["comps"][ci]
+                if len(scan) > 1:
+                    my, mx = divmod(m, mcux)
+                    blocks = [
+                        (my * comp["v"] + by, mx * comp["h"] + bx)
+                        for by in range(comp["v"])
+                        for bx in range(comp["h"])
+                    ]
+                else:
+                    _, bw = _scan_blocks(frame, ci, mcux, mcuy)
+                    blocks = [divmod(m, bw)]
+                for by, bx in blocks:
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:  # DC first: huffman diff, shifted by Al
+                        tab = huff_dc.get(td)
+                        if tab is None:
+                            raise ValueError("missing DC table")
+                        t = reader.decode_symbol(tab)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        pred[si] += diff
+                        blk[0] = pred[si] << al
+                    else:  # DC refine: one raw bit per block
+                        if reader.read_bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+    else:
+        if len(scan) != 1:
+            raise ValueError("AC scans must be non-interleaved")
+        ci, _, ta = scan[0]
+        tab = huff_ac.get(ta)
+        if tab is None:
+            raise ValueError("missing AC table")
+        bh, bw = _scan_blocks(frame, ci, mcux, mcuy)
+        for m in range(bh * bw):
+            if dri and m and m % dri == 0:
+                reader.align_and_expect_restart()
+                state["eobrun"] = 0
+            by, bx = divmod(m, bw)
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                _ac_first(reader, tab, blk, ss, se, al, state)
+            else:
+                _ac_refine(reader, tab, blk, ss, se, al, state)
+    # skip to the next marker that is not stuffing/restart
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise ValueError("unterminated progressive scan")
+
+
+def _ac_first(reader, tab, blk, ss, se, al, state):
+    """§G.2: first AC pass of a band — EOB runs + shifted coefficients."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, tab, blk, ss, se, al, state):
+    """§G.1.2.3 correction-bit pass: each already-nonzero coefficient in
+    the band gets one refinement bit; newly-significant coefficients
+    arrive as (run, 1) symbols with a sign bit; EOB runs cover whole
+    blocks whose nonzero history still receives correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement symbol must have s=1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit():
+                        if (int(blk[k]) & p1) == 0:
+                            blk[k] = int(blk[k]) + (
+                                p1 if blk[k] >= 0 else m1
+                            )
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0 and reader.read_bit():
+                if (int(blk[k]) & p1) == 0:
+                    blk[k] = int(blk[k]) + (p1 if blk[k] >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+# --------------------------------------------------------------------------
 # encoder
 # --------------------------------------------------------------------------
 
@@ -441,6 +733,54 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
     q = min(100, max(1, int(quality)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _prepare(pixels, quality, subsample):
+    """Shared encoder front end: color convert, subsample, pad, forward
+    DCT, quantize.  Returns (gray, h, w, comps, blocks, qt0, qt1,
+    mcux, mcuy) where comps = [(plane, tq, ch, cv)] and blocks[ci] is
+    the (bh, bw, 8, 8) quantized-coefficient grid."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    gray = arr.ndim == 2
+    if gray:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    qt0 = _quality_scale(STD_QT_LUMA, quality)
+    qt1 = _quality_scale(STD_QT_CHROMA, quality)
+    if gray:
+        comps = [(arr[:, :, 0] - 128.0, 0, 1, 1)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            # pad to even dims, then 2x2 mean
+            cbp = _pad_to(cb, 2)
+            crp = _pad_to(cr, 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, -1, 2).mean((1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, -1, 2).mean((1, 3))
+            comps = [(y, 0, 2, 2), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+        else:
+            comps = [(y, 0, 1, 1), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # block-decompose each plane, padded by edge replication
+    blocks = []
+    for plane, tq, ch, cv in comps:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        p = _pad_edge(plane, ph, pw)
+        q = qt0 if tq == 0 else qt1
+        coef = np.round(
+            _fdct_all(p) / q.reshape(8, 8)[None, None]
+        ).astype(np.int32)
+        blocks.append(coef)
+    return gray, h, w, comps, blocks, qt0, qt1, mcux, mcuy
 
 
 class _BitWriter:
@@ -508,47 +848,9 @@ def jpeg_encode(
     ``subsample=True`` emits 4:2:0 chroma (2x2-averaged), else 4:4:4;
     ``restart_interval`` emits DRI + RSTn markers every that many MCUs
     (so tests can exercise the decoder's restart path)."""
-    arr = np.asarray(pixels, dtype=np.float64)
-    gray = arr.ndim == 2
-    if gray:
-        arr = arr[:, :, None]
-    h, w = arr.shape[:2]
-    if h < 1 or w < 1:
-        raise ValueError("empty image")
-    qt0 = _quality_scale(STD_QT_LUMA, quality)
-    qt1 = _quality_scale(STD_QT_CHROMA, quality)
-    if gray:
-        comps = [(arr[:, :, 0] - 128.0, 0, 1, 1)]
-    else:
-        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
-            # pad to even dims, then 2x2 mean
-            cbp = _pad_to(cb, 2)
-            crp = _pad_to(cr, 2)
-            cb = cbp.reshape(cbp.shape[0] // 2, 2, -1, 2).mean((1, 3))
-            cr = crp.reshape(crp.shape[0] // 2, 2, -1, 2).mean((1, 3))
-            comps = [(y, 0, 2, 2), (cb, 1, 1, 1), (cr, 1, 1, 1)]
-        else:
-            comps = [(y, 0, 1, 1), (cb, 1, 1, 1), (cr, 1, 1, 1)]
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # block-decompose each plane, padded by edge replication
-    blocks = []
-    for plane, tq, ch, cv in comps:
-        ph, pw = mcuy * cv * 8, mcux * ch * 8
-        p = _pad_edge(plane, ph, pw)
-        q = qt0 if tq == 0 else qt1
-        coef = np.round(
-            _fdct_all(p) / q.reshape(8, 8)[None, None]
-        ).astype(np.int32)
-        blocks.append(coef)
-
+    gray, h, w, comps, blocks, qt0, qt1, mcux, mcuy = _prepare(
+        pixels, quality, subsample
+    )
     dc0 = _build_encode_table(*STD_DC_LUMA)
     ac0 = _build_encode_table(*STD_AC_LUMA)
     dc1 = _build_encode_table(*STD_DC_CHROMA)
@@ -628,3 +930,260 @@ def _fdct_all(plane: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
     return np.einsum("ij,abjk,lk->abil", _DCT_T, b, _DCT_T)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (test-fixture generator for the SOF2 decoder)
+# --------------------------------------------------------------------------
+
+# one flat canonical table (all 8-bit codes) covering every symbol a
+# progressive AC scan can emit: EOBn (r<<4, r 0..14), ZRL (0xF0), and
+# (run, size) for sizes 1..10 — 175 symbols < 255, so the all-ones
+# 8-bit code stays unused (T.81 C.2 prudence).  Compression is not the
+# point; exercising the decoder's EOB-run/refinement paths is.
+_PROG_AC_SYMS = sorted(
+    {r << 4 for r in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = len(_PROG_AC_SYMS)
+_PROG_AC_TABLE = _build_encode_table(_PROG_AC_BITS, _PROG_AC_SYMS)
+
+
+class _EobState:
+    """Pending EOB run + buffered refinement correction bits (spec
+    G.1.2.3: correction bits of EOB-covered blocks are emitted right
+    after the EOBn code, in block order)."""
+
+    def __init__(self):
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self, bw, actab):
+        if self.run == 0 and not self.bits:
+            return
+        if self.run:
+            r = self.run.bit_length() - 1
+            code, ln = actab[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(self.run - (1 << r), r)
+            self.run = 0
+        for b in self.bits:
+            bw.write(b, 1)
+        self.bits = []
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): magnitude shift, sign preserved."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first(bw, zz, ss, se, al, eob, actab):
+    """First pass of an AC band at bit-plane Al."""
+    vals = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+    if not any(vals):
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush(bw, actab)
+        return
+    eob.flush(bw, actab)
+    run = 0
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    for i, v in enumerate(vals):
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = actab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = actab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < se - ss:
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush(bw, actab)
+
+
+def _enc_ac_refine(bw, zz, ss, se, al, eob, actab):
+    """Refinement pass (G.1.2.3, the libjpeg encode_mcu_AC_refine
+    shape): already-nonzero coefficients contribute one correction bit;
+    newly-significant ones are (run, 1) symbols + sign; trailing zero
+    history folds into the EOB run with its correction bits buffered."""
+    absv = [abs(_pt_ac(int(zz[k]), al)) for k in range(ss, se + 1)]
+    # last newly-significant position (abs value exactly 1 at this plane)
+    eob_i = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob_i = i
+    run = 0
+    br: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_i:
+            eob.flush(bw, actab)
+            code, ln = actab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if a > 1:
+            br.append(a & 1)  # correction bit for nonzero history
+            continue
+        eob.flush(bw, actab)
+        code, ln = actab[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if zz[ss + i] >= 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        eob.run += 1
+        eob.bits.extend(br)
+        if eob.run == 0x7FFF:
+            eob.flush(bw, actab)
+
+
+def jpeg_encode_progressive(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 RGB (or gray) -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    Scan script exercises every decoder path: interleaved DC first at
+    Al=1 + DC refinement; per-component AC spectral bands (1-5, 6-63)
+    at Al=1; per-component full-band AC refinement to Al=0.  Quantized
+    coefficients are identical to :func:`jpeg_encode` at the same
+    quality, so progressive and baseline decodes must agree exactly."""
+    gray, h, w, comps, blocks, qt0, qt1, mcux, mcuy = _prepare(
+        pixels, quality, subsample
+    )
+    nc = len(comps)
+    # per-component zigzag blocks
+    zzb = [
+        blocks[ci].reshape(blocks[ci].shape[0], blocks[ci].shape[1], 64)[
+            :, :, ZIGZAG
+        ]
+        for ci in range(nc)
+    ]
+
+    def comp_grid(ci):
+        _, _, ch, cv = comps[ci]
+        hm = max(c[2] for c in comps)
+        vm = max(c[3] for c in comps)
+        cw = -(-w * ch // hm)
+        chh = -(-h * cv // vm)
+        return -(-chh // 8), -(-cw // 8)
+
+    dc_enc = [
+        _build_encode_table(*(STD_DC_LUMA if tq == 0 else STD_DC_CHROMA))
+        for _, tq, _, _ in comps
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qt0[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(qt1[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (_, tq, ch, cv) in enumerate(comps):
+        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, tq)
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    for tc, th, (bits, vals) in (
+        (0, 0, STD_DC_LUMA), (0, 1, STD_DC_CHROMA)
+    )[: 1 if gray else 2]:
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    # the one flat AC table serves every AC scan, ids 0 (and 1)
+    for th in range(1 if gray else 2):
+        out += _seg(
+            0xC4,
+            bytes([(1 << 4) | th])
+            + bytes(_PROG_AC_BITS)
+            + bytes(_PROG_AC_SYMS),
+        )
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tq = comps[ci][1]
+            body += bytes([ci + 1, (tq << 4) | tq])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    # --- scan 1: interleaved DC first, Al=1
+    out += sos_header(list(range(nc)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (_, tq, ch, cv) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    dc = int(zzb[ci][my * cv + by, mx * ch + bx, 0]) >> 1
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    t = abs(diff).bit_length()
+                    code, ln = dc_enc[ci][t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(
+                            diff if diff > 0 else diff + (1 << t) - 1, t
+                        )
+    bw.flush()
+    out += bw.out
+
+    # --- per-component AC first scans: bands 1-5 and 6-63 at Al=1
+    for ci in range(nc):
+        bh, bwidth = comp_grid(ci)
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([ci], ss, se, 0, 1)
+            bw = _BitWriter()
+            eob = _EobState()
+            for m in range(bh * bwidth):
+                by, bx = divmod(m, bwidth)
+                _enc_ac_first(
+                    bw, zzb[ci][by, bx], ss, se, 1, eob, _PROG_AC_TABLE
+                )
+            eob.flush(bw, _PROG_AC_TABLE)
+            bw.flush()
+            out += bw.out
+
+    # --- DC refinement: interleaved, Ah=1 Al=0 (raw bits)
+    out += sos_header(list(range(nc)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (_, tq, ch, cv) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    bw.write(int(zzb[ci][my * cv + by, mx * ch + bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # --- per-component AC refinement: full band, Ah=1 Al=0
+    for ci in range(nc):
+        bh, bwidth = comp_grid(ci)
+        out += sos_header([ci], 1, 63, 1, 0)
+        bw = _BitWriter()
+        eob = _EobState()
+        for m in range(bh * bwidth):
+            by, bx = divmod(m, bwidth)
+            _enc_ac_refine(
+                bw, zzb[ci][by, bx], 1, 63, 0, eob, _PROG_AC_TABLE
+            )
+        eob.flush(bw, _PROG_AC_TABLE)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

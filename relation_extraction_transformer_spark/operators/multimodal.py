@@ -7,14 +7,17 @@ actually carries that needs no external library: 24-bit BMP, 8-bit PNG
 (round 6: stdlib zlib + all five scanline filters, from scratch) and
 baseline JPEG (round 6: full T.81 baseline — Huffman entropy decode,
 dequant, IDCT, chroma upsampling — functions/jpeg.py, numpy only),
-PCM16 WAV audio, and MBMP frame containers decode/resize/frame-sample
-for REAL (gated by tests/test_codecs.py + test_jpeg.py with independent
-oracles: the stdlib ``wave`` module for WAV, hand-built chunk-level
-golden PNGs, a naive per-pixel IDCT for JPEG).  Payloads are sniffed by
-magic bytes; the remaining formats (progressive JPEG, MP3, H.264) still
-try the real library (PIL/soundfile, absent in this container) and fall
-back to a clearly-marked deterministic stub, so the frozen-artifact
-oracle battery over the legacy fake payloads is untouched.
+PROGRESSIVE JPEG (round 7: SOF2 spectral selection + successive
+approximation, same jpeg-numpy decoder name), PCM16 WAV audio, and MBMP
+frame containers decode/resize/frame-sample for REAL (gated by
+tests/test_codecs.py + test_jpeg.py with independent oracles: the
+stdlib ``wave`` module for WAV, hand-built chunk-level golden PNGs, a
+naive per-pixel IDCT for JPEG, baseline==progressive pixel equality for
+SOF2).  Payloads are sniffed by magic bytes; the remaining formats
+(MP3, H.264) still try the real library (PIL/soundfile, absent in this
+container) and fall back to a clearly-marked deterministic stub, so the
+frozen-artifact oracle battery over the legacy fake payloads is
+untouched.
 """
 
 from __future__ import annotations

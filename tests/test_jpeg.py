@@ -140,10 +140,16 @@ def test_rejects_non_baseline_and_malformed():
     good = J.jpeg_encode(px)
     with pytest.raises(ValueError, match="SOI"):
         J.jpeg_decode(b"\x00\x00" + good[2:])
-    # flip SOF0 -> SOF2 (progressive) including its length bytes intact
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # flip SOF0 -> SOF3 (lossless): still rejected as non-baseline
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(ValueError, match="non-baseline"):
-        J.jpeg_decode(prog)
+        J.jpeg_decode(lossless)
+    # flip SOF0 -> SOF2: r7 DECODES progressive, so a baseline stream
+    # mislabeled progressive now fails as an illegal progressive scan
+    # (its single interleaved scan claims Ss=0 Se=63)
+    mislabel = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="DC scan"):
+        J.jpeg_decode(mislabel)
     with pytest.raises(ValueError):
         J.jpeg_decode(good[: len(good) // 2])  # truncated scan
     # 16-bit quant table flag
@@ -152,6 +158,68 @@ def test_rejects_non_baseline_and_malformed():
     bad[dqt_at] |= 0x10
     with pytest.raises(ValueError, match="16-bit"):
         J.jpeg_decode(bytes(bad))
+
+
+@pytest.mark.parametrize(
+    "shape,subsample",
+    [((16, 24, 3), False), ((17, 23, 3), True), ((8, 8), False),
+     ((33, 9, 3), False)],
+)
+def test_progressive_decode_equals_baseline_exactly(shape, subsample):
+    """SOF2 vs SOF0 are two entropy organizations of the SAME quantized
+    coefficients: decoding the progressive stream (DC Al=1 + refine,
+    split AC bands at Al=1 + full-band refinement with EOB runs and
+    correction bits) must reproduce the baseline decode bit-for-bit.
+    The baseline decoder is independently oracled against the naive
+    spec-formula IDCT, so this transitively pins the progressive path."""
+    rng = np.random.default_rng(int(np.prod(shape)))
+    px = rng.integers(0, 256, shape).astype(np.uint8)
+    kw = {} if len(shape) == 2 else {"subsample": subsample}
+    base = J.jpeg_decode(J.jpeg_encode(px, quality=85, **kw))
+    prog_bytes = J.jpeg_encode_progressive(px, quality=85, **kw)
+    # it really is a progressive stream: SOF2 marker present, SOF0 absent
+    assert b"\xff\xc2" in prog_bytes and b"\xff\xc0" not in prog_bytes
+    assert prog_bytes.count(b"\xff\xda") >= 5  # multi-scan
+    prog = J.jpeg_decode(prog_bytes)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_smooth_image_and_quality_sweep():
+    """Smooth gradients at several qualities — exercises long EOB runs
+    (most high-frequency bands are entirely zero) and the ZRL path."""
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack(
+        [(yy * 5) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    for q in (30, 60, 95):
+        base = J.jpeg_decode(J.jpeg_encode(px, quality=q))
+        prog = J.jpeg_decode(J.jpeg_encode_progressive(px, quality=q))
+        assert np.array_equal(base, prog), f"quality {q}"
+
+
+def test_progressive_truncated_stream_raises():
+    px = np.full((16, 16, 3), 77, np.uint8)
+    data = J.jpeg_encode_progressive(px)
+    with pytest.raises(ValueError):
+        J.jpeg_decode(data[: len(data) // 3])
+
+
+def test_progressive_payload_takes_real_decoder_in_multimodal():
+    """The multimodal sniffing path now really decodes SOF2 payloads
+    (they used to fall to the labeled stub)."""
+    from relation_extraction_transformer_spark.operators import (
+        multimodal as MM,
+    )
+
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[:8, :8] = (200, 30, 90)
+    data = J.jpeg_encode_progressive(px)
+    feats, name = MM._try_real_decode(data)
+    assert name == "jpeg-numpy"
+    assert feats is not None and len(feats) > 0
+    # identical features to the baseline encoding of the same pixels
+    feats_base, name_base = MM._try_real_decode(J.jpeg_encode(px))
+    assert name_base == "jpeg-numpy" and feats == feats_base
 
 
 def test_rejects_non_interleaved_scan():
