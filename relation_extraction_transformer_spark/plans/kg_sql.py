@@ -467,40 +467,67 @@ def _kg_host_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl statistics — the aggregation a crawl pipeline runs
     to score/throttle hosts (spam domains, skew detection).  The pages
     corpus is Pareto-skewed by host (sources/pages.py), so this is also
-    the query whose group sizes motivate salted_repartition."""
+    the query whose group sizes motivate salted_repartition.
+
+    The per-host distinct-language count is a keyed HLL SKETCH
+    (functions/sketches.py, VERDICT r6 #9): the exact COUNT(DISTINCT)
+    is not mergeable state — at crawl scale the host scorer folds daily
+    deltas, so the column must be register-mergeable like the edge
+    rollup's url counts.  Per-host language cardinality sits deep in
+    the linear-counting regime where the estimate is near-exact
+    (pytest gate: == exact on the fixture).  Both engines compute the
+    same all-integer register sketch, so the oracle hash still pins
+    byte equality."""
+    from ..functions import sketches as SK
     from ..functions.skew import host_of
 
-    pages = spark.read.parquet(PAGES_PARQUET)
-    return (
-        pages.select(
-            host_of(F.col("url")).alias("host"),
-            "lang",
-            F.length("text").alias("chars"),
-        )
-        .groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_pages"),
-            F.count_distinct("lang").alias("n_langs"),
-            F.sum("chars").alias("total_chars"),
-            F.round(
-                F.sum("chars").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_chars"),
-        )
+    pages = spark.read.parquet(PAGES_PARQUET).select(
+        host_of(F.col("url")).alias("host"),
+        "lang",
+        F.length("text").alias("chars"),
     )
+    stats = pages.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("chars").alias("total_chars"),
+        F.round(
+            F.sum("chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+    )
+    langs = SK.hll_estimate_by(
+        SK.hll_registers_by(pages, ["host"], "lang"), ["host"]
+    ).withColumnRenamed("est_hll", "est_langs")
+    # both sides are already hash-partitioned on host by their
+    # aggregations — AQE plans a shuffle-reuse join
+    return stats.join(langs, "host").select(
+        "host", "n_pages", "est_langs", "total_chars", "avg_chars"
+    )
+
+
+def _kg_host_stats_oracle() -> str:
+    from ..functions import sketches as SK
+
+    return f"""
+    WITH src AS (
+      SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+             lang, length(text) AS chars
+      FROM read_parquet('{PAGES_PARQUET}')
+    ),
+    {SK.duck_hll_by_sql('src', ['host'], 'lang')},
+    stats AS (
+      SELECT host,
+             COUNT(*) AS n_pages,
+             CAST(SUM(chars) AS BIGINT) AS total_chars,
+             ROUND(CAST(SUM(chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+      FROM src GROUP BY 1
+    )
+    SELECT s.host, n_pages, e.est_hll AS est_langs, total_chars, avg_chars
+    FROM stats s JOIN hll_by_est e ON s.host = e.host
+    """
 
 
 KG_REGISTRY["kg_host_stats"] = QuerySpec(
     spark=_kg_host_stats_spark,
-    oracle=f"""
-    SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
-           COUNT(*) AS n_pages,
-           COUNT(DISTINCT lang) AS n_langs,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-           ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6)
-             AS avg_chars
-    FROM read_parquet('{PAGES_PARQUET}')
-    GROUP BY 1
-    """,
+    oracle=_kg_host_stats_oracle(),
 )
 
 

@@ -145,3 +145,35 @@ def test_cms_partition_independent(spark):
     assert sorted(map(tuple, SK.cms_sketch(a, "tok").collect())) == sorted(
         map(tuple, SK.cms_sketch(b, "tok").collect())
     )
+
+
+def test_host_stats_sketch_matches_exact_distinct_langs(spark):
+    """kg_host_stats (r7: per-host distinct langs via the keyed HLL
+    sketch — mergeable state for the 24/7 host scorer) must agree with
+    the exact COUNT(DISTINCT lang) on the fixture: per-host language
+    cardinality is tiny, so the estimate sits in the linear-counting
+    regime where it is exact after rounding."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_transformer_spark.functions.skew import (
+        host_of,
+    )
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    got = {
+        r.host: r.est_langs
+        for r in KQ.KG_REGISTRY["kg_host_stats"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    exact = {
+        r.host: r.n
+        for r in spark.read.parquet(KQ.PAGES_PARQUET)
+        .select(host_of(F.col("url")).alias("host"), "lang")
+        .groupBy("host")
+        .agg(F.count_distinct("lang").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for h, n in exact.items():
+        assert round(got[h]) == n, (h, got[h], n)
