@@ -357,6 +357,51 @@ def run_incremental_bench(spark: SparkSession) -> float:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def run_incremental_canon_bench(spark: SparkSession) -> float:
+    """Steady-state cost of maintaining the STANDING canonical map
+    (r7, operators/incremental_canon.py): bootstrap components from half
+    the corpus's mention surfaces, then time the other half's fold —
+    anti-join vs known nodes, delta bands, delta×standing candidate
+    join, reduced-graph CC, touched-component relabel, versioned
+    persist.  The wall must track the DELTA, not the standing world."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from relation_extraction_transformer_spark.operators import (
+        incremental_canon as IC,
+    )
+    from relation_extraction_transformer_spark.operators import (
+        linking as LINK,
+    )
+    from relation_extraction_transformer_spark.plans import pipeline as PL
+
+    pages = spark.read.parquet(PAGES_PATH_KG)
+
+    def mentions(df):
+        triples = PL.triples_plan(df, spark, keep_probs=False)
+        return (
+            triples.select(F.col("subj").alias("surface"))
+            .unionAll(triples.select(F.col("obj").alias("surface")))
+            .select(LINK.normalize_surface(F.col("surface")).alias("name"))
+            .distinct()
+            .select(LINK.stable_id(F.col("name")).alias("node_id"), "name")
+        )
+
+    parity = F.crc32("url") % 2
+    m1 = mentions(pages.where(parity == 0)).localCheckpoint(eager=True)
+    m2 = mentions(pages.where(parity == 1)).localCheckpoint(eager=True)
+    state_dir = tempfile.mkdtemp(prefix="ret_bench_canon_")
+    try:
+        IC.fold_mentions_delta(spark, m1, state_dir)  # bootstrap (warm)
+        t0 = time.perf_counter()
+        IC.fold_mentions_delta(spark, m2, state_dir)
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def run_html_extract_bench(spark: SparkSession) -> dict:
     """Throughput of the general real-HTML extractor (round 5:
     functions/html_text.py scanner in an Arrow pandas UDF) vs the JVM
@@ -603,6 +648,7 @@ def main() -> None:
 
     timings.update(run_graph_bench(spark))
     timings["incremental_fold"] = run_incremental_bench(spark)
+    timings["incremental_canon_fold"] = run_incremental_canon_bench(spark)
 
     skew = run_skew_bench(spark)
     skew_join = run_skew_join_bench(spark)

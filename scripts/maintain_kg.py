@@ -49,7 +49,13 @@ sys.path.insert(
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 
-def maintain(spark, pages, state_dir: str, keep_last_k: int | None = None):
+def maintain(
+    spark,
+    pages,
+    state_dir: str,
+    keep_last_k: int | None = None,
+    canon_state_dir: str | None = None,
+):
     """Fold one pages delta into the standing state at ``state_dir``.
 
     Returns ``(report, conflicts, summary)`` — the refreshed rollup and
@@ -57,13 +63,55 @@ def maintain(spark, pages, state_dir: str, keep_last_k: int | None = None):
     JSON-able summary of the fold.  The fold/persist core lives in
     operators/incremental.py::fold_pages_delta (shared with the
     Structured Streaming path).
+
+    ``canon_state_dir`` additionally folds the delta's entity-mention
+    surfaces into the STANDING canonical-component map
+    (operators/incremental_canon.py): canonical ids stay stable for
+    entities the delta does not touch — the property a 24/7 KG needs
+    that per-run batch canonicalization cannot give.
     """
+    from pyspark.sql import functions as F
+
     from relation_extraction_transformer_spark.operators import (
         incremental as INC,
     )
+    from relation_extraction_transformer_spark.operators import (
+        incremental_canon as IC,
+    )
+    from relation_extraction_transformer_spark.operators import (
+        linking as LINK,
+    )
     from relation_extraction_transformer_spark.plans import kg_sql as KQ
+    from relation_extraction_transformer_spark.plans import pipeline as PL
 
     summary = INC.fold_pages_delta(spark, pages, state_dir)
+
+    if canon_state_dir is not None:
+        # mention surfaces of the delta: node_id is the md5-derived
+        # stable id of the NORMALIZED name — the deterministic-function-
+        # of-name contract fold_mentions_delta requires
+        triples = PL.triples_plan(pages, spark, keep_probs=False)
+        mentions = (
+            triples.select(F.col("subj").alias("surface"))
+            .unionAll(triples.select(F.col("obj").alias("surface")))
+            .select(
+                LINK.normalize_surface(F.col("surface")).alias("name")
+            )
+            .distinct()
+            .select(
+                LINK.stable_id(F.col("name")).alias("node_id"), "name"
+            )
+        )
+        cs = IC.fold_mentions_delta(spark, mentions, canon_state_dir)
+        summary["canon"] = {
+            "state_version": cs["state_version"],
+            "new_nodes": cs["new_nodes"],
+            "touched_components": cs["touched_components"],
+        }
+        if keep_last_k is not None:
+            summary["canon"]["vacuumed"] = INC.vacuum_state(
+                canon_state_dir, keep_last_k, IC.CANON_DATASETS
+            )
 
     # everything user-facing comes off the persisted state — the raw
     # delta (and every older crawl) is out of the picture from here on
@@ -91,6 +139,11 @@ def main(argv=None) -> int:
     ap.add_argument("--state", required=True, help="standing state dir")
     ap.add_argument("--report-out", default=None, help="optional parquet out")
     ap.add_argument(
+        "--canon-state", default=None,
+        help="optional standing canonical-map state dir: the delta's "
+        "mention surfaces fold into stable canonical components",
+    )
+    ap.add_argument(
         "--keep-last-k", type=int, default=None,
         help="retention: delete committed state versions older than the "
         "newest K (never the one LATEST names); default keeps all",
@@ -107,7 +160,8 @@ def main(argv=None) -> int:
     try:
         pages = spark.read.parquet(args.pages)
         report, conflicts, summary = maintain(
-            spark, pages, args.state, keep_last_k=args.keep_last_k
+            spark, pages, args.state, keep_last_k=args.keep_last_k,
+            canon_state_dir=args.canon_state,
         )
         if args.report_out:
             report.write.mode("overwrite").parquet(
