@@ -210,6 +210,10 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "lang_guess",
     "winnowing_fingerprints",
     "ann_lsh_buckets",
+    # r7 addition, registered after the rotation: incremental
+    # canonicalization fold==rebuild law, checked cross-engine
+    # (pytest-gated at sf0.001 like every deferred row)
+    "kg_canonical_map_incremental",
 )
 _DRIVER_CAP = 50
 

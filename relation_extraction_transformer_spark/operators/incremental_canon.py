@@ -96,6 +96,93 @@ def read_canon_state(
     )
 
 
+def fold_into(
+    std_nodes: DataFrame,
+    std_bands: DataFrame,
+    delta_names: DataFrame,
+    jaccard_threshold: float = 0.6,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The pure fold: standing (nodes, bands) + delta mentions -> new
+    (nodes, bands, new_names, touched_relabel_map).  Disk-free core
+    shared by :func:`fold_mentions_delta` and the in-memory
+    ``kg_canonical_map_incremental`` oracle query (whose DuckDB twin
+    rebuilds in one pass — the hash compare IS fold==rebuild,
+    cross-engine)."""
+    new_names = delta_names.join(
+        std_nodes.select("node_id"), "node_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    dbands = CANON.minhash_band_hashes(new_names, "name")
+    dd = CANON.candidate_pairs(dbands)
+    # delta × standing: every (new, known) pair sharing a band.
+    # standing×standing pairs were found by earlier folds.
+    ds = (
+        dbands.select(F.col("node_id").alias("src"), "band", "band_hash")
+        .join(
+            std_bands.select(
+                F.col("node_id").alias("dst"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    all_names = std_nodes.select("node_id", "name").unionByName(new_names)
+    verified = CANON.verify_pairs_jaccard(
+        dd.unionByName(ds), all_names, jaccard_threshold
+    ).localCheckpoint(eager=True)
+    # reduce standing endpoints to their component super-node
+    comp_of = std_nodes.select("node_id", "component")
+    reduced = (
+        verified.join(
+            comp_of.withColumnRenamed("node_id", "src"), "src", "left"
+        )
+        .select(F.coalesce("component", "src").alias("src"), "dst")
+        .join(
+            comp_of.withColumnRenamed("node_id", "dst"), "dst", "left"
+        )
+        .select("src", F.coalesce("component", "dst").alias("dst"))
+    )
+    rcomp = CANON.connected_components(reduced)
+    # relabel map for standing components the delta touched —
+    # delta-sized: only component ids appearing in the reduced graph
+    # can move
+    touched = (
+        rcomp.join(
+            std_nodes.select(
+                F.col("component").alias("node_id")
+            ).distinct(),
+            "node_id",
+        )
+        .select(
+            F.col("node_id").alias("old_component"),
+            F.col("component").alias("new_component"),
+        )
+        .filter(F.col("old_component") != F.col("new_component"))
+        .localCheckpoint(eager=True)
+    )
+    nodes_kept = (
+        std_nodes.join(
+            F.broadcast(
+                touched.withColumnRenamed("old_component", "component")
+            ),
+            "component", "left",
+        )
+        .select(
+            "node_id", "name",
+            F.coalesce("new_component", "component").alias("component"),
+        )
+    )
+    nodes_new = new_names.join(rcomp, "node_id", "left").select(
+        "node_id", "name",
+        F.coalesce("component", "node_id").alias("component"),
+    )
+    nodes = nodes_kept.unionByName(nodes_new)
+    bands = std_bands.unionByName(
+        dbands.select("node_id", "band", "band_hash")
+    )
+    return nodes, bands, new_names, touched
+
+
 def fold_mentions_delta(
     spark: SparkSession,
     mentions: DataFrame,
@@ -130,91 +217,8 @@ def fold_mentions_delta(
             std_nodes, std_bands = read_canon_state(
                 spark, os.path.join(state_dir, f"v{cur}")
             )
-            new_names = delta_names.join(
-                std_nodes.select("node_id"), "node_id", "left_anti"
-            ).localCheckpoint(eager=True)
-            dbands = CANON.minhash_band_hashes(new_names, "name")
-            dd = CANON.candidate_pairs(dbands)
-            # delta × standing: every (new, known) pair sharing a band.
-            # standing×standing pairs were found by earlier folds.
-            ds = (
-                dbands.select(
-                    F.col("node_id").alias("src"), "band", "band_hash"
-                )
-                .join(
-                    std_bands.select(
-                        F.col("node_id").alias("dst"), "band", "band_hash"
-                    ),
-                    ["band", "band_hash"],
-                )
-                .select("src", "dst")
-                .distinct()
-            )
-            all_names = std_nodes.select("node_id", "name").unionByName(
-                new_names
-            )
-            verified = CANON.verify_pairs_jaccard(
-                dd.unionByName(ds), all_names, jaccard_threshold
-            ).localCheckpoint(eager=True)
-            # reduce standing endpoints to their component super-node
-            comp_of = std_nodes.select("node_id", "component")
-            reduced = (
-                verified.join(
-                    comp_of.withColumnRenamed("node_id", "src"),
-                    "src", "left",
-                )
-                .select(
-                    F.coalesce("component", "src").alias("src"), "dst"
-                )
-                .join(
-                    comp_of.withColumnRenamed("node_id", "dst"),
-                    "dst", "left",
-                )
-                .select(
-                    "src", F.coalesce("component", "dst").alias("dst")
-                )
-            )
-            rcomp = CANON.connected_components(reduced)
-            # relabel map for standing components the delta touched —
-            # delta-sized: only component ids appearing in the reduced
-            # graph can move
-            touched = (
-                rcomp.join(
-                    std_nodes.select(
-                        F.col("component").alias("node_id")
-                    ).distinct(),
-                    "node_id",
-                )
-                .select(
-                    F.col("node_id").alias("old_component"),
-                    F.col("component").alias("new_component"),
-                )
-                .filter(F.col("old_component") != F.col("new_component"))
-                .localCheckpoint(eager=True)
-            )
-            nodes_kept = (
-                std_nodes.join(
-                    F.broadcast(
-                        touched.withColumnRenamed(
-                            "old_component", "component"
-                        )
-                    ),
-                    "component", "left",
-                )
-                .select(
-                    "node_id", "name",
-                    F.coalesce("new_component", "component").alias(
-                        "component"
-                    ),
-                )
-            )
-            nodes_new = new_names.join(rcomp, "node_id", "left").select(
-                "node_id", "name",
-                F.coalesce("component", "node_id").alias("component"),
-            )
-            nodes = nodes_kept.unionByName(nodes_new)
-            bands = std_bands.unionByName(
-                dbands.select("node_id", "band", "band_hash")
+            nodes, bands, new_names, touched = fold_into(
+                std_nodes, std_bands, delta_names, jaccard_threshold
             )
             stats = {
                 "new_nodes": new_names.count(),

@@ -866,6 +866,21 @@ KG_REGISTRY["kg_pagerank"] = QuerySpec(
 
 
 
+# plan-inspection (materialize=False) callers need the persisted edge
+# frame alive so the returned plan prints the production
+# InMemoryTableScan shape — but never releasing it leaks one pinned
+# MEMORY_AND_DISK entry per call in the long-lived session (ADVICE r6).
+# Compromise: at most ONE inspection cache is alive; each call releases
+# the previous call's frame.
+_PLAN_INSPECT_CACHE: list = []
+
+
+def _plan_inspect_keepalive(df: DataFrame) -> None:
+    while _PLAN_INSPECT_CACHE:
+        _PLAN_INSPECT_CACHE.pop().unpersist()
+    _PLAN_INSPECT_CACHE.append(df)
+
+
 def _materialize_release(df: DataFrame, *handles: DataFrame) -> DataFrame:
     """Eagerly materialize a (small) query result, then unpersist the
     intermediate caches that fed it.  The graph-analytics queries run
@@ -1225,11 +1240,10 @@ def _kg_khop_spark(
         dist = dist.unionAll(frontier)
     out = dist.groupBy("node").agg(F.min("dist").alias("dist"))
     if not materialize:  # plan-inspection path: caller sees the raw plan
-        # release the cache entry immediately — nothing will run the
-        # plan, so a pinned MEMORY_AND_DISK edges frame would leak in
-        # the long-lived session (the leak _materialize_release exists
-        # to prevent)
-        edges.unpersist()
+        # the cache must stay alive for the plan to print its
+        # InMemoryTableScan shape; the keepalive bounds the session to
+        # one pinned inspection frame (ADVICE r6)
+        _plan_inspect_keepalive(edges)
         return out
     return _materialize_release(out, edges)
 
@@ -1337,7 +1351,7 @@ def _kg_link_prediction_spark(
         )
     )
     if not materialize:  # plan-inspection path: caller sees the raw plan
-        und.unpersist()
+        _plan_inspect_keepalive(und)
         return out
     return _materialize_release(out, und)
 
@@ -1493,6 +1507,123 @@ def _edge_history_incremental_oracle() -> str:
 KG_REGISTRY["kg_edge_history_incremental"] = QuerySpec(
     spark=_kg_edge_history_incremental_spark,
     oracle=_edge_history_incremental_oracle(),
+)
+
+
+def _kg_canonical_map_incremental_spark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental twin of the canonicalization chain (r7,
+    operators/incremental_canon.py): the corpus's distinct normalized
+    mention surfaces split into two deterministic deltas (md5(name)
+    parity), delta 0 bootstraps the standing component map + band
+    index, delta 1 FOLDS in via the reduced-graph fold — and the result
+    must equal the single-pass batch canonicalization, which is exactly
+    what the DuckDB oracle computes.  The driver's hash comparison IS
+    the fold==rebuild law for canonical ids, checked cross-engine.
+
+    The fixture's 127 surfaces share no 0.6-Jaccard pairs, so — like
+    dedup_exact / media_dedup — the query self-plants near-duplicate
+    variants (``name || ' co'`` for every surface whose stable id is
+    ≡ 0 mod 5) identically in both engines, proving the MERGE path of
+    the law non-trivially (planted variants that band-collide fold
+    into their base's component; which ones collide is a deterministic
+    md5 fact, identical cross-engine)."""
+    from ..operators import canonicalize as CANON  # noqa: F401
+    from ..operators import incremental_canon as IC
+    from ..operators import linking as LINK
+
+    tri = spark.read.parquet(TRIPLES_PARQUET)
+    base = (
+        tri.select(F.col("subj").alias("surface"))
+        .unionAll(tri.select(F.col("obj").alias("surface")))
+        .select(LINK.normalize_surface(F.col("surface")).alias("name"))
+        .distinct()
+    )
+    planted = base.where(
+        LINK.stable_id(F.col("name")) % 5 == 0
+    ).select(F.concat(F.col("name"), F.lit(" co")).alias("name"))
+    mentions = (
+        base.unionAll(planted)
+        .distinct()
+        .select(LINK.stable_id(F.col("name")).alias("node_id"), "name")
+    )
+    parity = (
+        F.conv(F.substring(F.md5("name"), 2, 15), 16, 10).cast("long") % 2
+    )
+    nodes0, bands0 = IC.canon_state(mentions.where(parity == 0))
+    nodes, _bands, _new, _touched = IC.fold_into(
+        nodes0.localCheckpoint(eager=True),
+        bands0.localCheckpoint(eager=True),
+        mentions.where(parity == 1),
+    )
+    return nodes.select("node_id", "name", "component")
+
+
+def _canonical_map_incremental_oracle() -> str:
+    return f"""
+    WITH RECURSIVE tri AS (
+      SELECT * FROM read_parquet('{TRIPLES_PARQUET}')
+    ),
+    surf AS (
+      -- UNION ALL + outer DISTINCT: inside a WITH RECURSIVE clause
+      -- DuckDB gives plain UNION recursive-union semantics here and
+      -- skipped the dedup entirely (observed 2x1520 rows)
+      SELECT {_norm(x='subj')} AS nname FROM tri
+      UNION ALL
+      SELECT {_norm(x='obj')} FROM tri
+    ),
+    dn AS (SELECT DISTINCT nname FROM surf),
+    withplants AS (
+      SELECT nname FROM dn
+      UNION ALL
+      SELECT nname || ' co' FROM dn WHERE ({_sid(x='nname')}) % 5 = 0
+    ),
+    names AS (
+      SELECT DISTINCT {_sid(x='nname')} AS node_id, nname FROM withplants
+    ),
+    {_char_shingle_bands_sql('names')},
+    cand AS (
+      SELECT DISTINCT a.node_id AS src, b.node_id AS dst
+      FROM cbands a JOIN cbands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.node_id < b.node_id
+    ),
+    dsh AS (
+      SELECT node_id, list_distinct(sh) AS s FROM shing
+    ),
+    verified AS (
+      SELECT src, dst FROM (
+        SELECT c.src, c.dst,
+               len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter_cnt,
+               len(a.s) AS na, len(b.s) AS nb
+        FROM cand c JOIN dsh a ON a.node_id = c.src
+                    JOIN dsh b ON b.node_id = c.dst
+      )
+      WHERE CAST(inter_cnt AS DOUBLE) / (na + nb - inter_cnt) >= 0.6
+    ),
+    sym AS (
+      SELECT src, dst FROM verified
+      UNION
+      SELECT dst AS src, src AS dst FROM verified
+    ),
+    reach(node_id, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node_id
+    ),
+    comps AS (
+      SELECT node_id, min(lbl) AS component FROM reach GROUP BY node_id
+    )
+    SELECT n.node_id, n.nname AS name,
+           COALESCE(c.component, n.node_id) AS component
+    FROM names n LEFT JOIN comps c ON c.node_id = n.node_id
+    """
+
+
+KG_REGISTRY["kg_canonical_map_incremental"] = QuerySpec(
+    spark=_kg_canonical_map_incremental_spark,
+    oracle=_canonical_map_incremental_oracle(),
 )
 
 

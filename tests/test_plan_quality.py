@@ -318,3 +318,21 @@ def test_ntriples_serialization_plan(spark):
     assert "prob" not in read and "url" not in read, (
         f"export must prune to subj/pred/obj: {read}"
     )
+
+
+def test_plan_inspection_cache_is_bounded(spark):
+    """materialize=False plan-inspection calls keep their edge cache
+    alive (the plan must print InMemoryTableScan) but at most ONE
+    inspection frame may stay pinned — repeated calls release the
+    previous one instead of leaking an entry per call (ADVICE r6)."""
+    from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    KQ._kg_khop_spark(spark, "", materialize=False)
+    base = n_cached()
+    KQ._kg_khop_spark(spark, "", materialize=False)
+    KQ._kg_link_prediction_spark(spark, "", materialize=False)
+    KQ._kg_khop_spark(spark, "", materialize=False)
+    assert n_cached() <= base, "inspection calls must not accumulate caches"
