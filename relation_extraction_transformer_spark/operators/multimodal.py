@@ -99,13 +99,22 @@ def render_real_media(media_id: int, seed: int = 42) -> tuple:
             payload = CD.png_encode(px, filter_type=int(media_id) % 5)
             mime = "image/png"
         elif fmt == 2:
-            # real baseline JPEG (round 6) — alternate 4:4:4 / 4:2:0 so
-            # both chroma layouts decode in the corpus; note the
-            # metadata w/h stay the TRUE pixel dims (lossy content,
-            # exact geometry)
+            # real JPEG (round 6) — alternate 4:4:4 / 4:2:0 so both
+            # chroma layouts decode in the corpus, and (round 7) every
+            # third JPEG is PROGRESSIVE (SOF2: spectral selection +
+            # successive approximation) so the multi-scan decode path
+            # runs in the corpus too; the metadata w/h stay the TRUE
+            # pixel dims (lossy content, exact geometry)
             from ..functions import jpeg as JP
 
-            payload = JP.jpeg_encode(
+            # JPEG images sit at media_id = 9k+6, so k = id//9 is the
+            # per-JPEG counter: odd k -> progressive
+            enc = (
+                JP.jpeg_encode_progressive
+                if (int(media_id) // 9) % 2
+                else JP.jpeg_encode
+            )
+            payload = enc(
                 px, quality=90, subsample=bool(int(media_id) % 2)
             )
             mime = "image/jpeg"
