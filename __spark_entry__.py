@@ -210,10 +210,12 @@ _DEFERRED_PAST_DRIVER_CAP = (
     "lang_guess",
     "winnowing_fingerprints",
     "ann_lsh_buckets",
-    # r7 addition, registered after the rotation: incremental
-    # canonicalization fold==rebuild law, checked cross-engine
-    # (pytest-gated at sf0.001 like every deferred row)
+    # r7 additions, registered after the rotation: incremental
+    # canonicalization fold==rebuild law and the two-level SemDeDup
+    # assignment, both checked cross-engine (pytest-gated at sf0.001
+    # like every deferred row)
     "kg_canonical_map_incremental",
+    "semdedup_two_level",
 )
 _DRIVER_CAP = 50
 

@@ -2845,6 +2845,110 @@ register(
 )(_spark_semdedup_scaled)
 
 
+def _spark_semdedup_two_level(spark, sf):
+    """The same SemDeDup fixture through the r7 TWO-LEVEL assignment
+    (operators/semdedup.py::_assign_two_level): members broadcast-route
+    to ceil(sqrt(n_cells)) coarse anchors, then rank only against the
+    fine centroids of their coarse cell — the form that keeps the
+    broadcast side O(sqrt(n_cells)) at web scale.  The DuckDB twin
+    unrolls the coarse routing of centroids AND members plus the
+    coarse-restricted fine ranking, so the approximate-at-boundaries
+    assignment semantics themselves are oracle-checked cross-engine
+    (drop set still == the planted copies: identical vectors take
+    identical routes)."""
+    from ..operators import semdedup as SEM
+
+    emb = t(spark, sf, "embeddings")
+    planted = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    q = planted.select(
+        "vec_id", _spark_quantize(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=True)
+    out = SEM.semdedup(
+        q, "vec_id", "v",
+        threshold=_SEMDEDUP_T, n_cells=_SEMDEDUP_SCALED_CELLS,
+        sim_round=9, two_level=True,
+    )
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "dropped"
+    )
+
+
+def _semdedup_two_level_oracle(n_cells: int, n_coarse: int) -> str:
+    nz = "CAST(list_sum(list_transform({x}, e -> e * e)) AS BIGINT) > 0"
+    return f"""
+    WITH emb_planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    q AS (SELECT vec_id, {_DUCK_QUANT} AS v FROM emb_planted),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id < {n_cells}),
+    coarse AS (SELECT vec_id AS ckey, v AS av FROM q
+               WHERE vec_id < {n_coarse}),
+    cent_route AS (
+      SELECT cell, cv, ckey FROM (
+        SELECT c.cell, c.cv, k.ckey,
+               ROW_NUMBER() OVER (PARTITION BY c.cell
+                 ORDER BY {_DUCK_COS.format(a="c.cv", b="k.av")} DESC,
+                          k.ckey) AS rr
+        FROM cent c, coarse k
+        WHERE {nz.format(x="c.cv")} AND {nz.format(x="k.av")}
+      ) WHERE rr = 1
+    ),
+    mem_route AS (
+      SELECT vec_id, v, ckey FROM (
+        SELECT q.vec_id, q.v, k.ckey,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DUCK_COS.format(a="q.v", b="k.av")} DESC,
+                          k.ckey) AS rr
+        FROM q, coarse k
+        WHERE {nz.format(x="q.v")} AND {nz.format(x="k.av")}
+      ) WHERE rr = 1
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT m.vec_id, m.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                 ORDER BY {_DUCK_COS.format(a="m.v", b="c.cv")} DESC,
+                          c.cell) AS crank
+        FROM mem_route m JOIN cent_route c ON c.ckey = m.ckey
+      ) WHERE crank = 1
+    ),
+    pairwise AS (
+      SELECT b.vec_id,
+        CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+             i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+        CAST(list_sum(list_transform(a.v, x -> x * x)) AS BIGINT) AS aa,
+        CAST(list_sum(list_transform(b.v, x -> x * x)) AS BIGINT) AS bb
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT vec_id FROM pairwise
+      WHERE aa > 0 AND bb > 0
+        AND CAST(dot AS DOUBLE) /
+            (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE)))
+            >= {_SEMDEDUP_T}
+    )
+    SELECT p.vec_id, s.cell,
+           (d.vec_id IS NOT NULL) AS dropped
+    FROM emb_planted p
+    LEFT JOIN assign s ON s.vec_id = p.vec_id
+    LEFT JOIN dropped d ON d.vec_id = p.vec_id
+    """
+
+
+register(
+    "semdedup_two_level",
+    _semdedup_two_level_oracle(_SEMDEDUP_SCALED_CELLS, 3),
+)(_spark_semdedup_two_level)
+
+
 _CC_ROUNDS = 6
 
 
