@@ -169,3 +169,64 @@ def run_streaming_edge_fold(
         q.awaitTermination(300)
         return q
     return writer.start()
+
+
+def run_streaming_canon_fold(
+    spark: SparkSession,
+    pages_dir: str,
+    state_dir: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 8,
+    once: bool = True,
+):
+    """Always-on canonical-map maintenance: each micro-batch of crawled
+    pages extracts its mention surfaces and folds them into the STANDING
+    canonical-component map (operators/incremental_canon.py) — the
+    streaming twin of ``maintain_kg.py --canon-state`` and the canon
+    counterpart of :func:`run_streaming_edge_fold`.
+
+    Exactly-once state: versions derive from the durable streaming
+    ``batch_id``, so a re-delivered batch finds its version committed
+    and is a no-op.  Stable ids hold across triggers: a micro-batch that
+    touches no standing component leaves every existing canonical id
+    byte-identical — the fold only ever relabels components the batch's
+    mentions actually connect.  The standing band index makes per-batch
+    work delta-sized (delta×delta + delta×standing candidate joins,
+    reduced-graph CC), never a re-canonicalization of the world."""
+    from pyspark.sql import functions as F
+
+    from ..operators import incremental_canon as IC
+    from ..operators import linking as LINK
+    from ..plans import pipeline as PL
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        triples = PL.triples_plan(batch_df, spark, keep_probs=False)
+        mentions = (
+            triples.select(F.col("subj").alias("surface"))
+            .unionAll(triples.select(F.col("obj").alias("surface")))
+            .select(
+                LINK.normalize_surface(F.col("surface")).alias("name")
+            )
+            .distinct()
+            .select(
+                LINK.stable_id(F.col("name")).alias("node_id"), "name"
+            )
+        )
+        IC.fold_mentions_delta(
+            spark, mentions, state_dir, version=int(batch_id) + 1
+        )
+
+    writer = pages.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        return q
+    return writer.start()

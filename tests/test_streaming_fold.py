@@ -56,6 +56,71 @@ def test_streamed_fold_equals_batch_rebuild_and_replay_is_noop(
     assert sorted(map(tuple, INC.edge_report(after).collect())) == streamed
 
 
+def test_streamed_canon_fold_equals_batch_rebuild_and_replay_is_noop(
+    spark, tmp_path
+):
+    """Streaming canonical-map maintenance: folding micro-batches of
+    pages must land on EXACTLY the single-pass batch canonicalization
+    of the full corpus's mention surfaces, and a re-delivered batch is
+    a committed-version no-op."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from relation_extraction_transformer_spark.operators import (
+        incremental_canon as IC,
+    )
+    from relation_extraction_transformer_spark.operators import (
+        linking as LINK,
+    )
+
+    pages = spark.read.parquet(PAGES)
+    pages_dir = str(tmp_path / "pages")
+    pages.repartition(4).write.parquet(pages_dir)
+    state_dir = str(tmp_path / "canon")
+    os.makedirs(state_dir)
+
+    ST.run_streaming_canon_fold(
+        spark, pages_dir, state_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,  # forces >= 2 micro-batches
+    )
+    n_versions = INC.latest_version(state_dir)
+    assert n_versions >= 2, "expected multiple micro-batches"
+
+    nodes, _ = IC.read_canon_state(spark, f"{state_dir}/v{n_versions}")
+    streamed = {(r.node_id): (r.name, r.component) for r in nodes.collect()}
+
+    triples = PL.triples_plan(pages, spark, keep_probs=False)
+    mentions = (
+        triples.select(F.col("subj").alias("surface"))
+        .unionAll(triples.select(F.col("obj").alias("surface")))
+        .select(LINK.normalize_surface(F.col("surface")).alias("name"))
+        .distinct()
+        .select(LINK.stable_id(F.col("name")).alias("node_id"), "name")
+    )
+    rebuilt_nodes, _ = IC.canon_state(mentions)
+    rebuilt = {
+        (r.node_id): (r.name, r.component)
+        for r in rebuilt_nodes.collect()
+    }
+    assert streamed == rebuilt
+
+    # crash-replay of the last batch: version already committed -> no-op
+    s = IC.fold_mentions_delta(
+        spark,
+        mentions.limit(0),
+        state_dir,
+        version=n_versions,
+    )
+    assert s["replayed"] is True
+    after, _ = IC.read_canon_state(spark, f"{state_dir}/v{n_versions}")
+    assert {
+        (r.node_id): (r.name, r.component) for r in after.collect()
+    } == streamed
+    assert _os.path.exists(os.path.join(state_dir, "LATEST"))
+
+
 def test_unwritten_out_of_order_version_is_rejected(spark, tmp_path):
     """A fresh (never-committed) version at-or-below LATEST must raise —
     folding it would merge against a later state."""
