@@ -305,6 +305,14 @@ def run_graph_bench(spark: SparkSession) -> dict[str, float]:
                 spark, SF_DIR, triples=triples
             )
         ),
+        # r7: the hub cap prunes wedges at their source (degree filter
+        # BEFORE the self-join) — the A/B wall shows what capping the
+        # Theta(sum deg^2) middle term buys on this corpus's skew
+        "kg_link_prediction_cap32": timed(
+            lambda: KQ._kg_link_prediction_spark(
+                spark, SF_DIR, triples=triples, max_middle_degree=32
+            )
+        ),
         # r6: knowledge fusion (noisy-or belief per fact) and functional-
         # predicate conflict resolution over the same corpus-sized triples
         "kg_fusion": timed(
