@@ -30,12 +30,15 @@ Determinism / distribution invariants:
 100-TB honesty: broadcast-params + driver-side optimizer is the
 synchronous data-parallel shape and holds while the embedding table fits
 an executor (~100M params in fp64 = 800 MB — a few million entities at
-dim 64).  A billion-entity KG needs sharded parameter state (each
-embedding partition co-located with the edges that touch it); that is a
-parameter-server architecture Spark does not provide natively, and the
-local-SGD variant in operators/train.py is the nearest in-repo step
-toward it.  Distance is SQUARED L2 (smooth everywhere, so the
-finite-difference gradient gate applies cleanly).
+dim 64).  A billion-entity KG needs sharded parameter state — and
+operators/kg_embed_sharded.py IMPLEMENTS that form (r7): parameters as
+DataFrames, vector gathers as hash joins, gradient aggregation as one
+quantized-DECIMAL groupBy (bit-exact under any partitioning), update +
+projection as a join — with a parity gate pinning it to this module's
+dense step at rtol 1e-9.  Use this module while the table fits an
+executor (fewer shuffles per step); switch to the sharded form past it.
+Distance is SQUARED L2 (smooth everywhere, so the finite-difference
+gradient gate applies cleanly).
 """
 
 from __future__ import annotations
