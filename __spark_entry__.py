@@ -140,11 +140,36 @@ def _kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         params, ent_ids, rel_ids, _ = KE.fit(edges, dim=8, n_steps=3, lr=0.1)
         return KE.evaluate_ranking(edges, params, ent_ids, rel_ids)
 
+    def kg_transe_sharded_loss(spark, sf_dir):
+        """TransE trained with SHARDED parameter state (r7,
+        operators/kg_embed_sharded.py): embeddings as DataFrames,
+        gradients through a quantized-DECIMAL groupBy — the form that
+        survives a billion-entity table.  Rows-only: the hard gates are
+        the rtol-1e-9 dense parity, bit-exact partition invariance, and
+        the dense-trajectory tracking in tests/test_kg_embed_sharded.py."""
+        from pyspark.sql import functions as F
+
+        from relation_extraction_transformer_spark.operators import (
+            kg_embed_sharded as KS,
+        )
+        from relation_extraction_transformer_spark.plans import kg_sql as KQ
+
+        edges = spark.read.parquet(KQ.TRIPLES_PARQUET).select(
+            F.col("subj").alias("src"),
+            F.col("pred").alias("rel"),
+            F.col("obj").alias("dst"),
+        )
+        _, _, _, _, curve = KS.sharded_fit(edges, dim=8, n_steps=3, lr=0.1)
+        return spark.createDataFrame(
+            list(enumerate(curve)), "step int, loss double"
+        )
+
     return {
         "kg_triples": kg_triples,
         "train_loss_curve": train_loss_curve,
         "kg_transe_loss": kg_transe_loss,
         "kg_transe_ranking": kg_transe_ranking,
+        "kg_transe_sharded_loss": kg_transe_sharded_loss,
     }
 
 
