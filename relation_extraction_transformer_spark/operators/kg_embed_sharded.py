@@ -123,12 +123,15 @@ def sharded_transe_step(
     n_total: int,
     lr: float,
     margin: float = KE.MARGIN,
+    n_ent: int | None = None,
 ) -> tuple[DataFrame, DataFrame, float]:
     """One synchronous plain-SGD TransE step over sharded state.
     Returns (ent', rel', mean_loss); the new frames are eagerly
-    localCheckpoint-ed so plan depth stays constant across steps."""
-    spark = ent.sparkSession
-    n_ent = ent.count()
+    localCheckpoint-ed so plan depth stays constant across steps.
+    Pass ``n_ent`` (the entity count, needed by negative sampling) to
+    skip the per-step count job."""
+    if n_ent is None:
+        n_ent = ent.count()
 
     def evec(col):
         return ent.select(
@@ -257,7 +260,8 @@ def sharded_fit(
     curve = []
     for step in range(n_steps):
         ent, rel, loss = sharded_transe_step(
-            ent, rel, id_edges, step, n_total, lr
+            ent, rel, id_edges, step, n_total, lr,
+            n_ent=len(ent_ids),
         )
         curve.append(loss)
     return ent, rel, ent_ids, rel_ids, curve
