@@ -113,6 +113,11 @@ def make_spark(cores: int) -> SparkSession:
         .appName(f"ret-spark-bench-{cores}")
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.session.timeZone", "UTC")
+        # keep stdout/stderr clean: a consumer that merges the two
+        # streams must still find ONE parseable JSON line — carriage-
+        # return progress bars can interleave mid-line at buffer
+        # boundaries
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -882,7 +887,7 @@ def main() -> None:
         "pair_8_to_32": pair_8_32,
     }
 
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
