@@ -98,12 +98,42 @@ def run_semdedup_bench(spark: SparkSession) -> dict:
     fixed = timed(n_cells=4)
     scaled = timed(target_cell_size=64, cell_cap=256)
     sqrt_law = timed(cell_cap=256)  # r7 default: n_cells = ceil(sqrt N)
+
+    # the COST CURVE (VERDICT r6 #1 done-criterion): the same two laws
+    # at 4x the corpus.  Linear law's assignment stage is N^2/target
+    # sims (16x when N quadruples); sqrt law's is N^1.5 (8x) — the
+    # growth RATIO is the evidence, robust to host-window shifts
+    big = emb
+    for k in range(2):
+        big = big.unionAll(
+            big.select(
+                (F.col("vec_id") + F.lit(10 ** (7 + k))).alias("vec_id"),
+                "v",
+            )
+        )
+    big = big.localCheckpoint(eager=True)
+
+    def timed_big(**kw) -> float:
+        t0 = time.perf_counter()
+        SEM.semdedup(big, "vec_id", "v", **kw).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    scaled4 = timed_big(target_cell_size=64, cell_cap=256)
+    sqrt4 = timed_big(cell_cap=256)
     return {
         "fixed4_cells_sec": fixed,
         "scaled_cells_sec": scaled,
         "sqrt_law_cells_sec": sqrt_law,
         "speedup": round(fixed / scaled, 2),
         "speedup_sqrt_vs_fixed": round(fixed / sqrt_law, 2),
+        "curve_4x": {
+            "linear_law_sec": scaled4,
+            "sqrt_law_sec": sqrt4,
+            "linear_growth": round(scaled4 / scaled, 2),
+            "sqrt_growth": round(sqrt4 / sqrt_law, 2),
+        },
     }
 
 
