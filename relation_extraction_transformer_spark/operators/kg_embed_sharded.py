@@ -73,6 +73,55 @@ def params_to_frames(
     return ent.localCheckpoint(eager=True), rel.localCheckpoint(eager=True)
 
 
+def init_frames_distributed(
+    ids: DataFrame, id_col: str, dim: int, seed: int = 13,
+    project: bool = True,
+) -> DataFrame:
+    """Initialize embedding rows WITHOUT a driver-side table: each
+    coordinate is a deterministic md5-derived uniform in
+    [-6/√dim, 6/√dim] (the Bordes et al. init), computed as a JVM
+    expression over the id frame — so a billion-entity bootstrap is one
+    narrow map over the entity list, nothing materialized on the
+    driver.  Deterministic and partition-independent (pure function of
+    (id, coordinate, seed)); entity rows are unit-ball projected like
+    the training constraint.  ``params_to_frames`` remains the
+    dense-parity bootstrap for graphs small enough to compare against
+    numpy init."""
+    bound = 6.0 / float(dim) ** 0.5
+    coord = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(id_col).cast("string"),
+                            d.cast("string"),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    2, 13,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(1 << 52))  # 13 hex chars = 52 bits -> [0, 1)
+            * F.lit(2.0 * bound)
+            - F.lit(bound)
+        ),
+    )
+    out = ids.select(F.col(id_col), coord.alias("vec"))
+    if project:
+        nrm = F.sqrt(_sq_norm(F.col("vec")))
+        out = out.select(
+            id_col,
+            F.when(
+                nrm > 1.0, F.transform("vec", lambda x: x / nrm)
+            ).otherwise(F.col("vec")).alias("vec"),
+        )
+    return out.localCheckpoint(eager=True)
+
+
 def frames_to_params(ent: DataFrame, rel: DataFrame) -> dict:
     """Collect sharded frames back to the dense dict (tests / graphs
     small enough for the broadcast path anyway)."""
@@ -246,17 +295,32 @@ def sharded_fit(
     lr: float = 0.1,
     seed: int = 13,
     n_partitions: int = 8,
+    distributed_init: bool = False,
 ) -> tuple[DataFrame, DataFrame, dict, dict, list[float]]:
     """Train TransE end-to-end with sharded state.  Returns
-    (ent_frame, rel_frame, ent_ids, rel_ids, loss_curve)."""
+    (ent_frame, rel_frame, ent_ids, rel_ids, loss_curve).
+    ``distributed_init=True`` bootstraps the embedding frames with
+    :func:`init_frames_distributed` (no driver-sized table anywhere in
+    the loop — the full billion-entity shape); the default numpy init
+    matches the dense module for parity tests."""
     spark = edges.sparkSession
     ent_ids, rel_ids = KE.build_id_maps(edges)
     id_edges = KE.to_id_edges(edges, ent_ids, rel_ids).localCheckpoint(
         eager=True
     )
     n_total = id_edges.count()
-    params = KE.init_params(len(ent_ids), len(rel_ids), dim, seed=seed)
-    ent, rel = params_to_frames(spark, params, n_partitions)
+    if distributed_init:
+        ent = init_frames_distributed(
+            spark.range(len(ent_ids)).select(F.col("id").alias("eid")),
+            "eid", dim, seed=seed, project=True,
+        )
+        rel = init_frames_distributed(
+            spark.range(len(rel_ids)).select(F.col("id").alias("rid")),
+            "rid", dim, seed=seed + 1, project=False,
+        )
+    else:
+        params = KE.init_params(len(ent_ids), len(rel_ids), dim, seed=seed)
+        ent, rel = params_to_frames(spark, params, n_partitions)
     curve = []
     for step in range(n_steps):
         ent, rel, loss = sharded_transe_step(

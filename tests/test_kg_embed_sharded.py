@@ -126,3 +126,58 @@ def test_entity_norms_projected_to_unit_ball(spark):
     got = KS.frames_to_params(ent, rel)
     norms = np.linalg.norm(got["ent_emb"], axis=1)
     assert (norms <= 1.0 + 1e-12).all()
+
+
+def test_distributed_init_deterministic_bounded_and_trains(spark):
+    """init_frames_distributed: pure-function init (identical across
+    partitionings), coordinates inside the Bordes bound, entity rows on
+    the unit ball, and a fully-driver-free fit still drives loss down."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(40).select(F.col("id").alias("eid"))
+    a = {r.eid: tuple(r.vec) for r in
+         KS.init_frames_distributed(ids, "eid", 6, seed=3).collect()}
+    b = {r.eid: tuple(r.vec) for r in
+         KS.init_frames_distributed(
+             ids.repartition(7), "eid", 6, seed=3).collect()}
+    assert a == b, "init must be partition-independent"
+    raw = {r.rid: tuple(r.vec) for r in
+           KS.init_frames_distributed(
+               spark.range(40).select(F.col("id").alias("rid")),
+               "rid", 6, seed=3, project=False).collect()}
+    bound = 6.0 / 6 ** 0.5
+    assert all(abs(x) <= bound for v in raw.values() for x in v)
+    norms = [sum(x * x for x in v) ** 0.5 for v in a.values()]
+    assert all(n <= 1.0 + 1e-12 for n in norms)
+    # distinct rows get distinct vectors (md5 keyed on id)
+    assert len(set(a.values())) == len(a)
+
+    # a fully-driver-free fit walks the same trajectory as the dense
+    # local stepper started from the SAME (collected) init — curve
+    # shape is sampling-noise-dependent at this lr, parity is the law
+    edges = _edges_df(spark)
+    ent_f, rel_f, ent_ids, rel_ids, curve = KS.sharded_fit(
+        edges, dim=6, n_steps=3, lr=0.1, distributed_init=True
+    )
+    ent0 = KS.init_frames_distributed(
+        spark.range(len(ent_ids)).select(F.col("id").alias("eid")),
+        "eid", 6, seed=13, project=True,
+    )
+    rel0 = KS.init_frames_distributed(
+        spark.range(len(rel_ids)).select(F.col("id").alias("rid")),
+        "rid", 6, seed=14, project=False,
+    )
+    params = KS.frames_to_params(ent0, rel0)
+    id_edges = [
+        tuple(r)
+        for r in KE.to_id_edges(edges, ent_ids, rel_ids).collect()
+    ]
+    opt = OPT.SGD(lr=0.1, momentum=0.0, nesterov=False)
+    dense_curve = [
+        KE.local_step(id_edges, params, opt, step=s) for s in range(3)
+    ]
+    np.testing.assert_allclose(curve, dense_curve, rtol=1e-8)
+    got = KS.frames_to_params(ent_f, rel_f)
+    np.testing.assert_allclose(
+        got["ent_emb"], params["ent_emb"], rtol=1e-8, atol=1e-11
+    )
