@@ -48,17 +48,21 @@ def log2_bin_sql(var: str) -> str:
 
 
 def log2_bin(col: Column) -> Column:
-    """Column form of :func:`log2_bin_sql` for scalar int columns."""
-    expr = F.when(col == 0, F.lit(0))
-    acc = None
-    for b in range(_MAX_BIN, 0, -1):
-        cond = col >= (1 << (b - 1))
-        acc = F.when(cond, F.lit(b)) if acc is None else acc.when(cond, F.lit(b))
-    neg = None
-    for b in range(_MAX_BIN, 0, -1):
-        cond = (-col) >= (1 << (b - 1))
-        neg = F.when(cond, F.lit(-b)) if neg is None else neg.when(cond, F.lit(-b))
-    return expr.when(col > 0, acc).otherwise(neg)
+    """Column form of :func:`log2_bin_sql` for scalar int columns.
+
+    Integer-exact like the SQL CASE chain, but via ``length(bin(|x|))``
+    (= bit_length for positive ints — the same trick sketches.py uses
+    for the HLL rho): the binning runs once per array ELEMENT on the
+    inference hot path, and one bin/length pair is ~3x cheaper than the
+    62-branch CASE chain the previous form compiled to (r8 measured;
+    values identical on the full int32 range, pinned by the golden
+    vectors in tests/test_positions.py)."""
+    mag_bits = F.length(F.bin(F.abs(col).cast("bigint"))).cast("int")
+    return (
+        F.when(col == 0, F.lit(0))
+        .when(col > 0, mag_bits)
+        .otherwise(-mag_bits)
+    )
 
 
 def bin_positions(arr: Column) -> Column:

@@ -81,15 +81,42 @@ def connected_components(
     label shortcutting (labels jump to the component minimum, not just the
     neighbor minimum).
     """
+    # the symmetric edge list is referenced by EVERY round's propagation
+    # join; checkpoint it once so rounds read a materialized frame
+    # instead of re-running the upstream plan (for the dedup path that
+    # upstream is the LSH band self-join) once per round (r8)
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node_id"))
         .distinct()
         .withColumn("component", F.col("node_id"))
         .localCheckpoint(eager=True)
     )
+
+    # Convergence detection via the label-sum invariant (r8): min-label
+    # propagation is MONOTONE (a node's label never increases), so for
+    # NUMERIC node ids the label multiset changed this round iff its
+    # exact DECIMAL sum strictly decreased.  One trivial aggregation job
+    # per round on the already-checkpointed labels replaces the previous
+    # join + limit(1) count job, and the propagate + shortcut pair
+    # materializes ONCE per round instead of twice (round walls in
+    # OPTIMIZATION_r08.md).  String-labeled graphs (kg_wcc over entity
+    # names) have no monotone numeric image, so they keep the join-based
+    # changed check against the previous round's checkpointed labels.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["component"].dataType, NumericType
+    )
+
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         # each node proposes its current label to every neighbor
         msgs = (
@@ -101,9 +128,10 @@ def connected_components(
             .union(msgs)
             .groupBy("node_id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         # label shortcutting: re-point every label at its label's label
+        # (the aggregation subtree appears on both join sides; Spark
+        # reuses the exchange, so it computes once per round)
         lbl2 = new_labels.select(
             F.col("node_id").alias("c_node"), F.col("component").alias("c_comp")
         )
@@ -117,14 +145,21 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            shortcut.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = shortcut
-        if changed == 0:
-            break
+        if numeric_ids:
+            labels = shortcut
+            cur_sum = label_sum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (
+                shortcut.alias("n")
+                .join(labels.alias("o"), "node_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = shortcut
+            if changed == 0:
+                break
     return labels

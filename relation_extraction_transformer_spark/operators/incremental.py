@@ -294,6 +294,14 @@ def fold_pages_delta(
             ),
             "url",
         )
+        # write_edge_state below is TWO actions (stats, regs), and both
+        # datasets derive from obs — without a materialization the full
+        # delta extraction (the Arrow inference pipeline, the dominant
+        # fold cost) runs once per dataset.  Checkpoint the edge-keyed
+        # observation rows once; both aggregations then read the
+        # delta-sized checkpoint (r8: halves the extract share of the
+        # fold wall, measured in OPTIMIZATION_r08.md).
+        obs = obs.localCheckpoint(eager=True)
         delta = edge_state(obs)
         if cur > 0:
             standing = read_edge_state(

@@ -54,6 +54,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def tb(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Balanced read for compute-heavy NARROW stages (per-token md5 /
+    minhash / sketch hashing): when the scan yields fewer splits than
+    the cluster has slots — the small-file case of guide §2.5 "input
+    skew: ... repartition immediately after the read" — round-robin the
+    rows across ``defaultParallelism`` once, so the hash work engages
+    every core instead of one task per tiny file.  Scale-adaptive, not
+    a local[32] constant: at production input sizes the scan has far
+    more splits than slots and this is the identity (no Exchange is
+    added), so the narrow zero-shuffle plan shape is preserved exactly
+    where it matters.  Results are partitioning-independent (row-wise
+    hashes + commutative aggregations downstream)."""
+    df = t(spark, sf_dir, name)
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 # ===========================================================================
 # §1 TPC-H-style relational core: scan / filter / aggregate / join / top-k
 # ===========================================================================
@@ -253,7 +272,7 @@ def _vocab_ranked_spark(spark, sf):
     from ..operators.vocab import ranked_vocab
 
     return ranked_vocab(
-        t(spark, sf, "documents")
+        tb(spark, sf, "documents")
         .select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -802,10 +821,12 @@ _DUCK_MH_CTES = MH.duck_minhash_ctes(
 
 def _spark_minhash_bands(spark, sf):
     # shared LSH core, fully narrow: per-token hashes Horner-combined to
-    # shingle hashes, k array_min projections, stack() unpivot — zero
-    # Exchange (plan-guarded in tests/test_plan_quality.py)
+    # shingle hashes, k array_min projections, stack() unpivot — no
+    # per-shingle shuffle anywhere (plan-guarded in
+    # tests/test_plan_quality.py); tb() balances the scan when the input
+    # under-fills the cluster (guide §2.5), identity at real scale
     return MH.minhash_bands(
-        t(spark, sf, "documents"),
+        tb(spark, sf, "documents"),
         "doc_id",
         hashes=MH.word_shingle_hashes(F.col("text")),
         k=_MINHASH_K,
@@ -843,7 +864,7 @@ def _spark_ngram_jaccard(spark, sf):
     # round 1 keyed this on (lang, len//16), which is O(n^2) per bucket at
     # web scale; this is the exact-verify stage over LSH candidates
     pairs = _spark_minhash_pairs(spark, sf)
-    sh = t(spark, sf, "documents").select(
+    sh = tb(spark, sf, "documents").select(
         "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("s")
     )
     j = (
@@ -905,7 +926,7 @@ def _spark_simhash(spark, sf):
     # table (16x the shuffle rows) and aggregated twice; this is the same
     # result with a single map-side-combinable shuffle
     tok_hash = (
-        t(spark, sf, "documents")
+        tb(spark, sf, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .withColumn(
             "h", F.conv(F.substring(F.md5("tok"), 2, 15), 16, 10).cast("long")
@@ -3070,7 +3091,7 @@ def _spark_hll_distinct(spark, sf):
     from ..functions import sketches as SK
 
     toks = (
-        t(spark, sf, "documents")
+        tb(spark, sf, "documents")
         .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
@@ -3118,7 +3139,7 @@ def _spark_cms_heavy_hitters(spark, sf):
     from ..functions import sketches as SK
 
     toks = (
-        t(spark, sf, "documents")
+        tb(spark, sf, "documents")
         .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )

