@@ -129,19 +129,54 @@ def detect_mentions(
     # never pay the O(|dict|) scan — measured ~2x on the NER stage (r8).
     first_words = sorted({p.split(" ")[0] for p in gaz_map})
 
-    spans = F.concat(*[_ngram_spans(n) for n in range(1, max_phrase_tokens + 1)])
+    # span candidates carry only (m_start, m_end) — the surface STRING
+    # (a concat_ws over a token slice) is built only for spans whose
+    # first token passes the InSet test, i.e. for the tiny fraction that
+    # can possibly match (r8; previously every n-gram of every sentence
+    # allocated its surface up front)
     toks = F.col("tokens")
+
+    def _bare_spans(n: int):
+        # NOTE: a `lambda i, n=n` default-arg capture would change the
+        # lambda's ARITY, which pyspark's transform() reads as the
+        # (element, index) form — hence the explicit closure factory
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.struct(
+                    i.alias("m_start"), (i + n - 1).alias("m_end")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<m_start:int,m_end:int>>"))
+
+    bare = F.concat(
+        *[_bare_spans(n) for n in range(1, max_phrase_tokens + 1)]
+    )
+    candidates = F.transform(
+        F.filter(
+            bare,
+            lambda sp: F.element_at(toks, sp["m_start"] + 1).isin(
+                *first_words
+            ),
+        ),
+        lambda sp: F.struct(
+            sp["m_start"].alias("m_start"),
+            sp["m_end"].alias("m_end"),
+            F.concat_ws(
+                " ",
+                F.slice(toks, sp["m_start"] + 1, sp["m_end"] - sp["m_start"] + 1),
+            ).alias("surface"),
+        ),
+    )
     typed = F.filter(
         F.transform(
-            spans,
+            candidates,
             lambda sp: F.struct(
                 sp["m_start"].alias("m_start"),
                 sp["m_end"].alias("m_end"),
                 sp["surface"].alias("surface"),
-                F.when(
-                    F.element_at(toks, sp["m_start"] + 1).isin(*first_words),
-                    F.element_at(gmap, sp["surface"]),
-                ).alias("ner_type"),
+                F.element_at(gmap, sp["surface"]).alias("ner_type"),
             ),
         ),
         lambda m: m["ner_type"].isNotNull(),

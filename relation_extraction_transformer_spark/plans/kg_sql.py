@@ -773,14 +773,20 @@ def _kg_pagerank_spark(
     out_deg = edges.groupBy(F.col("subj").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    # r8: the out-degree join is LOOP-INVARIANT — attach it to the edge
+    # cache once instead of re-joining the edge list against out_deg in
+    # every power iteration (an edge-sized join x n_iters at scale).
+    # Same per-edge (pr / outdeg) contributions, values unchanged.
+    edges_deg = edges.join(
+        out_deg.withColumnRenamed("node", "subj"), "subj"
+    ).persist()
     pr = nodes.withColumn(
         "pr",
         F.round(F.lit(1.0) / F.lit(float(n)), 12).cast("decimal(28,12)"),
     )
     for it in range(n_iters):
         contrib = (
-            edges.join(pr.withColumnRenamed("node", "subj"), "subj")
-            .join(out_deg.withColumnRenamed("node", "subj"), "subj")
+            edges_deg.join(pr.withColumnRenamed("node", "subj"), "subj")
             .select(
                 F.col("obj").alias("node"),
                 F.round(
@@ -807,7 +813,7 @@ def _kg_pagerank_spark(
             pr = pr.localCheckpoint(eager=True)
     return _materialize_release(
         pr.select("node", F.col("pr").cast("double").alias("pagerank")),
-        edges, nodes,
+        edges, nodes, edges_deg,
     )
 
 
@@ -1907,10 +1913,14 @@ def _kg_communities_spark(
 
     Scale shape: per round one edge⋈label join (both sides hash-
     partitioned on the join key) and two map-side-combinable groupBys;
-    the label frame is localCheckpoint-ed every round so plan depth
-    stays constant at any round count (the kg_kcore/k-hop discipline).
-    The winner pick is a groupBy MIN over a (neg-count, label) struct —
-    never a SinglePartition window."""
+    the label frame localCheckpoints every _PR_CHECKPOINT_EVERY rounds
+    (r8: each round references its predecessor exactly ONCE, so lazy
+    chaining grows the plan linearly, not exponentially — a periodic
+    truncation bounds depth at any round count while letting the rounds
+    in between run as one job instead of one job per round; the
+    per-round eager checkpoint was round-trip overhead, not a depth
+    necessity).  The winner pick is a groupBy MIN over a (neg-count,
+    label) struct — never a SinglePartition window."""
     und = _und_edges(spark, triples)
     sym = (
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -1922,7 +1932,7 @@ def _kg_communities_spark(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(n_rounds):
+    for it in range(n_rounds):
         nb = (
             sym.join(
                 labels.select(
@@ -1944,8 +1954,9 @@ def _kg_communities_spark(
                 ).alias("w")
             )
             .select("node", F.col("w.label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % _PR_CHECKPOINT_EVERY == 0 and (it + 1) < n_rounds:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
 
 

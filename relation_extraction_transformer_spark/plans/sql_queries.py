@@ -1033,18 +1033,27 @@ register(
     ) WHERE rank <= {_TOP_K}
     """,
 )(
+    # r8: per-vector norms are computed ONCE per side before the pair
+    # join (previously per PAIR — N_QUERIES redundant reevaluations of
+    # each candidate's self-dot through the interpreted higher-order
+    # aggregate).  Same dot/qq/cc values, so identical rounded cosines.
     lambda spark, sf: (
         lambda emb: emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            F.col("vv").alias("qq"),
+        )
         .join(
-            emb.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")),
+            emb.select(
+                F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                F.col("vv").alias("cc"),
+            ),
             F.col("qid") != F.col("cid"),
         )
         .select(
             "qid", "cid",
             _spark_int_dot(F.col("qv"), F.col("cv")).alias("dot"),
-            _spark_int_dot(F.col("qv"), F.col("qv")).alias("qq"),
-            _spark_int_dot(F.col("cv"), F.col("cv")).alias("cc"),
+            "qq", "cc",
         )
         .filter((F.col("qq") > 0) & (F.col("cc") > 0))
         .withColumn(
@@ -1070,7 +1079,7 @@ register(
     )(
         t(spark, sf, "embeddings").select(
             "vec_id", _spark_quantize(F.col("embedding")).alias("v")
-        )
+        ).withColumn("vv", _spark_int_dot(F.col("v"), F.col("v")))
     )
 )
 
