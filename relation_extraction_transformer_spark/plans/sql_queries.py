@@ -55,17 +55,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def tb(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Balanced read for compute-heavy NARROW stages (per-token md5 /
-    minhash / sketch hashing): when the scan yields fewer splits than
-    the cluster has slots — the small-file case of guide §2.5 "input
-    skew: ... repartition immediately after the read" — round-robin the
-    rows across ``defaultParallelism`` once, so the hash work engages
-    every core instead of one task per tiny file.  Scale-adaptive, not
-    a local[32] constant: at production input sizes the scan has far
-    more splits than slots and this is the identity (no Exchange is
-    added), so the narrow zero-shuffle plan shape is preserved exactly
-    where it matters.  Results are partitioning-independent (row-wise
-    hashes + commutative aggregations downstream)."""
+    """Balanced read for compute-heavy NARROW stages: when the scan
+    yields fewer splits than the cluster has slots — the small-file
+    case of guide §2.5 "input skew: ... repartition immediately after
+    the read" — round-robin the rows across ``defaultParallelism``
+    once, so the heavy per-row work engages every core instead of one
+    task per tiny file.  Scale-adaptive, not a local[32] constant: at
+    production input sizes the scan has far more splits than slots and
+    this is the identity (no Exchange is added), so the narrow
+    zero-shuffle plan shape is preserved exactly where it matters.
+    Results are partitioning-independent (row-wise hashes + commutative
+    aggregations downstream).
+
+    Use ONLY where the per-row compute dwarfs a row's shuffle cost —
+    the minhash signature build (per-token md5 + Horner + k affine
+    minima per document) and the shingle-array construction of the
+    Jaccard verify stage.  Measured r8: the same balancing applied to
+    explode+aggregate queries (vocab counts, simhash bit sums, HLL/CMS
+    sketches) made them SLOWER — their single-task compute is smaller
+    than the added exchange + extra stage, so those read with t()."""
     df = t(spark, sf_dir, name)
     slots = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < slots:
@@ -272,7 +280,7 @@ def _vocab_ranked_spark(spark, sf):
     from ..operators.vocab import ranked_vocab
 
     return ranked_vocab(
-        tb(spark, sf, "documents")
+        t(spark, sf, "documents")
         .select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -926,7 +934,7 @@ def _spark_simhash(spark, sf):
     # table (16x the shuffle rows) and aggregated twice; this is the same
     # result with a single map-side-combinable shuffle
     tok_hash = (
-        tb(spark, sf, "documents")
+        t(spark, sf, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .withColumn(
             "h", F.conv(F.substring(F.md5("tok"), 2, 15), 16, 10).cast("long")
@@ -3100,7 +3108,7 @@ def _spark_hll_distinct(spark, sf):
     from ..functions import sketches as SK
 
     toks = (
-        tb(spark, sf, "documents")
+        t(spark, sf, "documents")
         .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
@@ -3148,7 +3156,7 @@ def _spark_cms_heavy_hitters(spark, sf):
     from ..functions import sketches as SK
 
     toks = (
-        tb(spark, sf, "documents")
+        t(spark, sf, "documents")
         .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
