@@ -100,7 +100,10 @@ register(
     GROUP BY l_returnflag, l_linestatus
     """,
 )(
-    lambda spark, sf: t(spark, sf, "lineitem")
+    # r8: tb() — the single-row-group testdata file otherwise runs the
+    # whole DECIMAL partial aggregation in one task (identity at
+    # production split counts)
+    lambda spark, sf: tb(spark, sf, "lineitem")
     .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     .groupBy("l_returnflag", "l_linestatus")
     .agg(
@@ -140,7 +143,7 @@ register(
         F.col("c_custkey") == F.col("o_custkey"),
     )
     .join(
-        t(spark, sf, "lineitem").filter(
+        tb(spark, sf, "lineitem").filter(
             F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -177,7 +180,7 @@ register(
     .join(t(spark, sf, "nation"), F.col("n_regionkey") == F.col("r_regionkey"))
     .join(t(spark, sf, "customer"), F.col("c_nationkey") == F.col("n_nationkey"))
     .join(t(spark, sf, "orders"), F.col("o_custkey") == F.col("c_custkey"))
-    .join(t(spark, sf, "lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+    .join(tb(spark, sf, "lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
     .join(
         t(spark, sf, "supplier"),
         (F.col("s_suppkey") == F.col("l_suppkey"))
