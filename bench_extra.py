@@ -139,6 +139,9 @@ def section_plans(spark, names: list[str]) -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    # match the bench's warehouse-section scan config so adaptive reads
+    # (tb) see the same split counts the timed run sees
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
     os.makedirs("plans/r08", exist_ok=True)
     suffix = os.environ.get("SPARK_GRAFT_PLAN_SUFFIX", "before")
     for name in names:

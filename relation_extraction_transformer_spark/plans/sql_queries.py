@@ -69,16 +69,43 @@ def tb(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Use ONLY where the per-row compute dwarfs a row's shuffle cost —
     the minhash signature build (per-token md5 + Horner + k affine
-    minima per document) and the shingle-array construction of the
-    Jaccard verify stage.  Measured r8: the same balancing applied to
-    explode+aggregate queries (vocab counts, simhash bit sums, HLL/CMS
-    sketches) made them SLOWER — their single-task compute is smaller
-    than the added exchange + extra stage, so those read with t()."""
+    minima per document), the shingle-array construction of the Jaccard
+    verify stage, and the DECIMAL fact-side aggregation of the TPC-H
+    core.  Measured r8: the same balancing applied to explode+aggregate
+    queries (vocab counts, simhash bit sums, HLL/CMS sketches) made
+    them SLOWER — their single-task compute is smaller than the added
+    exchange + extra stage, so those read with t().
+
+    Detection is BYTES-based, not split-count-based: Spark's
+    ``files.minPartitionNum`` slices even a tiny single file into >=
+    ``defaultParallelism`` byte ranges, but a parquet ROW GROUP belongs
+    to whichever split holds its midpoint, so a single-row-group file
+    still runs as one effective task no matter how many empty splits
+    surround it — the split count cannot see that.  A sub-
+    ``slots * 8 MB`` input is guaranteed cheaper to round-robin once
+    than to risk serializing; anything larger keeps its native splits.
+    Non-local paths (OSError) fall back to the split-count test."""
     df = t(spark, sf_dir, name)
     slots = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < slots:
-        return df.repartition(slots)
-    return df
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import os as _os
+
+        if _os.path.isdir(path):
+            total = sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for root, _, files in _os.walk(path)
+                for f in files
+            )
+        else:
+            total = _os.path.getsize(path)
+        if total < slots * 8 * 1024 * 1024:
+            return df.repartition(slots)
+        return df
+    except OSError:
+        if df.rdd.getNumPartitions() < slots:
+            return df.repartition(slots)
+        return df
 
 
 # ===========================================================================
