@@ -66,25 +66,6 @@ def gazetteer_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def _ngram_spans(n: int):
-    """(start, end, surface) structs for all n-grams of the tokens column;
-    empty array when the sentence is shorter than n."""
-    toks = F.col("tokens")
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.struct(
-                i.alias("m_start"),
-                (i + n - 1).alias("m_end"),
-                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("surface"),
-            ),
-        ),
-    ).otherwise(F.array().cast(
-        "array<struct<m_start:int,m_end:int,surface:string>>"
-    ))
-
-
 def _containment_filter(ms):
     """Drop spans strictly contained in a longer kept span."""
     return F.array_sort(
