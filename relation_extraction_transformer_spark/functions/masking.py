@@ -13,6 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .. import constants as C
+from . import exprcache as XC
 
 
 def lower_tokens(tokens: Column) -> Column:
@@ -49,11 +50,19 @@ def mask_entity_spans(
 
 
 def _map_literal(d: dict[str, int]) -> Column:
-    pairs: list[Column] = []
-    for k, v in d.items():
-        pairs.append(F.lit(k))
-        pairs.append(F.lit(v))
-    return F.create_map(*pairs)
+    # literal maps are pure functions of their entries: memoize the
+    # Column so repeated plan constructions skip the 2x|d| py4j literal
+    # roundtrips (r8, functions/exprcache.py)
+    def build() -> Column:
+        pairs: list[Column] = []
+        for k, v in d.items():
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(v))
+        return F.create_map(*pairs)
+
+    return XC.cached_column(
+        ("map_literal", tuple(d.items())), build
+    )
 
 
 def map_tags_to_ids(tags: Column, tag_dict: dict[str, int]) -> Column:
@@ -73,11 +82,15 @@ def label_to_id(label: Column) -> Column:
 
 def id_to_label(label_id: Column) -> Column:
     """P5 inverse map (ref:runner.py:245, ref:eval.py:77)."""
-    pairs: list[Column] = []
-    for i, name in C.ID_TO_LABEL.items():
-        pairs.append(F.lit(i))
-        pairs.append(F.lit(name))
-    m = F.create_map(*pairs)
+
+    def build() -> Column:
+        pairs: list[Column] = []
+        for i, name in C.ID_TO_LABEL.items():
+            pairs.append(F.lit(i))
+            pairs.append(F.lit(name))
+        return F.create_map(*pairs)
+
+    m = XC.cached_column(("id_to_label_map",), build)
     return F.element_at(m, label_id.cast("int"))
 
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import exprcache as XC
+
 SUBJECT_TYPES = ("PERSON", "ORGANIZATION")
 
 
@@ -21,23 +23,30 @@ def generate_pairs(
 ) -> DataFrame:
     """mentions_df: url, sent_id, tokens, mentions array<struct<m_start,
     m_end, surface, ner_type>> (sorted) -> one row per candidate pair."""
-    subjects = F.filter(
-        "mentions", lambda m: m["ner_type"].isin(*SUBJECT_TYPES)
-    )
-    pairs = F.flatten(
-        F.transform(
-            subjects,
-            lambda s: F.transform(
-                F.filter(
-                    "mentions",
-                    lambda o: (o["m_start"] != s["m_start"])
-                    | (o["m_end"] != s["m_end"]),
-                ),
-                lambda o: F.struct(s.alias("s"), o.alias("o")),
-            ),
+    def _capped():
+        subjects = F.filter(
+            "mentions", lambda m: m["ner_type"].isin(*SUBJECT_TYPES)
         )
+        pairs = F.flatten(
+            F.transform(
+                subjects,
+                lambda s: F.transform(
+                    F.filter(
+                        "mentions",
+                        lambda o: (o["m_start"] != s["m_start"])
+                        | (o["m_end"] != s["m_end"]),
+                    ),
+                    lambda o: F.struct(s.alias("s"), o.alias("o")),
+                ),
+            )
+        )
+        return F.slice(pairs, 1, max_pairs_per_sentence)
+
+    # memoized per cap — references only the "mentions" column (r8,
+    # exprcache: plan-construction py4j cost, rebuilt per invocation)
+    capped = XC.cached_column(
+        ("generate_pairs_capped", max_pairs_per_sentence), _capped
     )
-    capped = F.slice(pairs, 1, max_pairs_per_sentence)
 
     passthrough = ["url", "sent_id", "tokens"] + [
         c for c in ("ner", "pos_ids", "ner_ids") if c in mentions_df.columns

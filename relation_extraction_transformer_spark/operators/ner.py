@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import exprcache as XC
 from ..sources import gazetteer as G
 
 SENTENCE_SPLIT_REGEX = r"(?<=\.)\s+"
@@ -97,8 +98,25 @@ def detect_mentions(
     Output: url, sent_id, tokens, mentions array<struct> (sorted).
     """
     gaz_map = gaz_map if gaz_map is not None else G.build_gazetteer()
+    gaz_items = tuple(sorted(gaz_map.items()))
+    # the full mentions expression references only the "tokens" column,
+    # so it is memoized per (dictionary, max_phrase_tokens) — building
+    # it costs ~0.8 s of py4j roundtrips (254 literals + nested
+    # lambdas), which the flagship otherwise pays on EVERY plan
+    # construction (r8; see functions/exprcache.py)
+    mentions = XC.cached_column(
+        ("detect_mentions", gaz_items, max_phrase_tokens),
+        lambda: _mentions_expr(gaz_items, max_phrase_tokens),
+    )
+    return tokenized.select("url", "sent_id", "tokens", mentions)
+
+
+def _mentions_expr(
+    gaz_items: tuple[tuple[str, str], ...], max_phrase_tokens: int
+):
+    """Build the (cacheable) mentions Column over the ``tokens`` column."""
     pairs: list = []
-    for phrase, typ in sorted(gaz_map.items()):
+    for phrase, typ in gaz_items:
         pairs.append(F.lit(phrase))
         pairs.append(F.lit(typ))
     gmap = F.create_map(*pairs)
@@ -108,7 +126,7 @@ def detect_mentions(
     # result set is provably unchanged: a phrase match implies its
     # first word is in this set).  Most spans fail the set test and
     # never pay the O(|dict|) scan — measured ~2x on the NER stage (r8).
-    first_words = sorted({p.split(" ")[0] for p in gaz_map})
+    first_words = sorted({phrase.split(" ")[0] for phrase, _ in gaz_items})
 
     # span candidates carry only (m_start, m_end) — the surface STRING
     # (a concat_ws over a token slice) is built only for spans whose
@@ -162,9 +180,7 @@ def detect_mentions(
         ),
         lambda m: m["ner_type"].isNotNull(),
     )
-    return tokenized.select(
-        "url", "sent_id", "tokens", _containment_filter(typed).alias("mentions")
-    )
+    return _containment_filter(typed).alias("mentions")
 
 
 def detect_mentions_join(
@@ -247,9 +263,9 @@ def detect_mentions_join(
 def ner_tags_from_mentions(kept: DataFrame) -> DataFrame:
     """Project mention spans back to a per-token NER tag sequence
     (the synthetic ``stanford_ner`` field)."""
-    return kept.withColumn(
-        "ner",
-        F.transform(
+    ner = XC.cached_column(
+        ("ner_tags_from_mentions",),
+        lambda: F.transform(
             F.sequence(F.lit(0), F.size("tokens") - 1),
             lambda i: F.coalesce(
                 F.try_element_at(
@@ -263,3 +279,4 @@ def ner_tags_from_mentions(kept: DataFrame) -> DataFrame:
             ),
         ),
     )
+    return kept.withColumn("ner", ner)
