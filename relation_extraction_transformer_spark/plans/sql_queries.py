@@ -170,7 +170,11 @@ register(
         F.col("c_custkey") == F.col("o_custkey"),
     )
     .join(
-        tb(spark, sf, "lineitem").filter(
+        # r8: tb() measured a LOSS here (the lineitem side feeds a
+        # broadcast-join probe chain, not a direct aggregation — the
+        # added exchange costs more than the parallel probe saves);
+        # only q1's scan->aggregate shape keeps the balanced read
+        t(spark, sf, "lineitem").filter(
             F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -207,7 +211,7 @@ register(
     .join(t(spark, sf, "nation"), F.col("n_regionkey") == F.col("r_regionkey"))
     .join(t(spark, sf, "customer"), F.col("c_nationkey") == F.col("n_nationkey"))
     .join(t(spark, sf, "orders"), F.col("o_custkey") == F.col("c_custkey"))
-    .join(tb(spark, sf, "lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+    .join(t(spark, sf, "lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
     .join(
         t(spark, sf, "supplier"),
         (F.col("s_suppkey") == F.col("l_suppkey"))
