@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import exprcache as XC
+
 MINHASH_K = 8
 MINHASH_BANDS = 2  # 2 bands x 4 rows
 
@@ -155,15 +157,21 @@ def minhash_bands(
         hashes = F.transform(shingles, lambda s: base_hash(s))
     rows_per_band = k // bands
     hashed = df.select(id_col, hashes.alias("__hs"))
-    sigs = hashed.select(
-        id_col,
-        *[
-            F.array_min(
+
+    # the k signature projections are pure functions of (i,) over the
+    # __hs column — memoized so repeated plan constructions (the band
+    # build runs per query invocation on the dedup, cluster and
+    # canonicalization paths) skip their py4j lambda roundtrips (r8,
+    # functions/exprcache.py)
+    def _sig_col(i: int):
+        return XC.cached_column(
+            ("minhash_sig", i),
+            lambda: F.array_min(
                 F.transform(F.col("__hs"), lambda h: _affine_sig(h, i))
-            ).alias(f"sig{i}")
-            for i in range(k)
-        ],
-    )
+            ).alias(f"sig{i}"),
+        )
+
+    sigs = hashed.select(id_col, *[_sig_col(i) for i in range(k)])
     band_cols = [
         f"{b}, md5(concat_ws('|', "
         + ", ".join(

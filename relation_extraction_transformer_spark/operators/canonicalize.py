@@ -33,9 +33,13 @@ def minhash_band_hashes(
     """Append ``band`` / ``band_hash`` rows (one per band) for LSH blocking.
     df must have a unique ``node_id`` column.  Delegates to the shared
     minhash core so entity and document LSH parameters cannot diverge."""
-    return MH.minhash_bands(
-        df, "node_id", MH.char_shingles(F.col(text_col)), k=k, bands=bands
+    from ..functions import exprcache as XC
+
+    shingles = XC.cached_column(
+        ("char_shingles", text_col),
+        lambda: MH.char_shingles(F.col(text_col)),
     )
+    return MH.minhash_bands(df, "node_id", shingles, k=k, bands=bands)
 
 
 def candidate_pairs(bands_df: DataFrame) -> DataFrame:

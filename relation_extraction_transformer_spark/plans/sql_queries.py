@@ -28,6 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import exprcache as XC
 from ..functions import positions as POS
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -870,7 +871,10 @@ def _spark_minhash_bands(spark, sf):
     return MH.minhash_bands(
         tb(spark, sf, "documents"),
         "doc_id",
-        hashes=MH.word_shingle_hashes(F.col("text")),
+        hashes=XC.cached_column(
+            ("word_shingle_hashes", "text"),
+            lambda: MH.word_shingle_hashes(F.col("text")),
+        ),
         k=_MINHASH_K,
         bands=_MINHASH_BANDS,
     )
